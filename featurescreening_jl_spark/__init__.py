@@ -1,0 +1,42 @@
+"""featurescreening_jl_spark — a brand-new PySpark-native feature-screening
+and point-in-time feature-engineering engine with the capabilities of
+cursorinsight/FeatureScreening.jl (reference read-only at /root/reference).
+
+Layer A (screening): driver-side tournament control flow + Spark ML
+RandomForestClassifier fits + split-frequency importance extraction.
+Layer B (featurization): transcripts → sessionization → lag/lead windows →
+per-turn aggregates → point-in-time as-of joins → wide feature matrices.
+"""
+
+from featurescreening_jl_spark.operators.selection import (
+    ComposedSelectionMode,
+    SelectByImportance,
+    SelectRandom,
+    SelectTop,
+    SelectionMode,
+    get_count,
+    importance,
+    importances,
+    label,
+    make_rng,
+    select,
+    unit_weights,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SelectionMode",
+    "SelectTop",
+    "SelectRandom",
+    "SelectByImportance",
+    "ComposedSelectionMode",
+    "select",
+    "get_count",
+    "label",
+    "importance",
+    "importances",
+    "unit_weights",
+    "make_rng",
+    "__version__",
+]
