@@ -8,6 +8,16 @@ Layer B (featurization): transcripts → sessionization → lag/lead windows →
 per-turn aggregates → point-in-time as-of joins → wide feature matrices.
 """
 
+from featurescreening_jl_spark.frame import FeatureFrame
+from featurescreening_jl_spark.operators.importance import (
+    DEFAULT_CONFIG_FOR_FEATURE_IMPORTANCE,
+    DEFAULT_SCREEN_CONFIG,
+    feature_importance,
+    feature_importance_from_model,
+    fit_forest,
+    split_counts,
+)
+from featurescreening_jl_spark.operators.screen import screen
 from featurescreening_jl_spark.operators.selection import (
     ComposedSelectionMode,
     SelectByImportance,
@@ -26,6 +36,14 @@ from featurescreening_jl_spark.operators.selection import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "FeatureFrame",
+    "screen",
+    "feature_importance",
+    "feature_importance_from_model",
+    "fit_forest",
+    "split_counts",
+    "DEFAULT_SCREEN_CONFIG",
+    "DEFAULT_CONFIG_FOR_FEATURE_IMPORTANCE",
     "SelectionMode",
     "SelectTop",
     "SelectRandom",

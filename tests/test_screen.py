@@ -1,0 +1,131 @@
+"""End-to-end screen() tests — the reference's layer-3 strategy
+(/root/reference/test/test.basics.jl:17-63): shape/type invariants on the
+25x11 fixture at step_size=3, reduced_size=3, both shuffle values, plus the
+separability property the reference implies via its --random-features CLI
+device (/root/reference/screen:72-84): pure-noise columns get screened out.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from featurescreening_jl_spark.frame import FeatureFrame
+from featurescreening_jl_spark.operators.screen import screen
+from featurescreening_jl_spark.operators.selection import SelectTop
+
+from conftest import fixture_matrix, fixture_screen_config
+
+pytestmark = pytest.mark.spark
+
+
+class TestScreenBasics:
+    @pytest.mark.parametrize("shuffle", [False, True])
+    def test_shape_and_type(self, feature_frame, shuffle):
+        result = screen(
+            feature_frame,
+            reduced_size=3,
+            step_size=3,
+            config=fixture_screen_config(),
+            shuffle=shuffle,
+            rng=1,
+            show_progress=False,
+        )
+        assert isinstance(result, FeatureFrame)
+        assert result.n_features == 3  # exactly reduced_size columns
+        assert result.count() == 25  # row count preserved
+        assert set(result.names) <= set(feature_frame.names)
+        pdf = result.to_pandas()
+        assert list(pdf.columns) == ["sample_id", "label", *result.names]
+        assert pdf["label"].tolist() == [c for c in "abcde" for _ in range(5)]
+
+    def test_mutual_exclusion(self, feature_frame):
+        with pytest.raises(AssertionError):
+            screen(
+                feature_frame,
+                reduced_size=3,
+                selection_mode=SelectTop(3),
+                show_progress=False,
+            )
+
+    def test_defaults(self, feature_frame):
+        # reduced_size defaults to n//5 = 2, step_size to n//10 = 1
+        result = screen(
+            feature_frame,
+            config=fixture_screen_config(),
+            rng=1,
+            show_progress=False,
+        )
+        assert result.n_features == 2
+
+    def test_callbacks_called(self, feature_frame):
+        calls = {"before": 0, "after": 0}
+        screen(
+            feature_frame,
+            reduced_size=3,
+            step_size=3,
+            config=fixture_screen_config(),
+            rng=1,
+            before=lambda sel, new: calls.__setitem__("before", calls["before"] + 1),
+            after=lambda sel: calls.__setitem__("after", calls["after"] + 1),
+            show_progress=False,
+        )
+        # ceil(11 / 3) = 4 rounds
+        assert calls == {"before": 4, "after": 4}
+
+    def test_deterministic_given_seed(self, feature_frame):
+        kwargs = dict(
+            reduced_size=3,
+            step_size=3,
+            config=fixture_screen_config(),
+            rng=7,
+            show_progress=False,
+        )
+        a = screen(feature_frame, **kwargs)
+        b = screen(feature_frame, **kwargs)
+        assert a.names == b.names
+
+    def test_dump_dir(self, feature_frame, tmp_path):
+        screen(
+            feature_frame,
+            reduced_size=3,
+            step_size=3,
+            config=fixture_screen_config(),
+            rng=1,
+            dump_dir=str(tmp_path),
+            show_progress=False,
+        )
+        files = sorted(os.listdir(tmp_path))
+        assert files == [f"importances.{i}.csv" for i in range(1, 5)]
+        header = (tmp_path / "importances.1.csv").read_text().splitlines()[0]
+        assert header == "feature,importance"
+
+
+class TestScreenSeparability:
+    def test_noise_features_screened_out(self, spark):
+        """Signal columns beat injected pure-noise columns — the property the
+        reference's --random-features device is for."""
+        rng = np.random.default_rng(9)
+        n_per_class = 20  # 100 samples: enough that noise split-gains are small
+        y = [cls for cls in "abcde" for _ in range(n_per_class)]
+        slopes = {"a": -2.0, "b": -1.0, "c": 0.0, "d": 1.0, "e": 2.0}
+        signal = np.array(
+            [[slopes[cls] * j for j in range(1, 5)] for cls in y]
+        ) + 0.1 * rng.standard_normal((100, 4))
+        noise = rng.standard_normal((100, 8))
+        X_all = np.hstack([signal, noise])
+        all_names = [f"sig_{i}" for i in range(4)] + [f"rnd_{i}" for i in range(8)]
+        ff = FeatureFrame.from_arrays(spark, y, all_names, X_all)
+        config = {**fixture_screen_config(), "n_trees": 40,
+                  "min_purity_increase": 0.02}
+        result = screen(
+            ff,
+            reduced_size=3,
+            step_size=4,
+            config=config,
+            rng=1,
+            show_progress=False,
+        )
+        assert all(n.startswith("sig_") for n in result.names), result.names
