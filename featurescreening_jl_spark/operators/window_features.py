@@ -1,0 +1,194 @@
+"""Windowed point-in-time featurization over transcripts.
+
+Layer B of the engine (SURVEY.md §7.0): turns an Iceberg/parquet transcript
+table ``(conv_id, turn_idx, role, text, tool, ts)`` into per-turn feature
+vectors with ZERO temporal leakage — every feature at turn t is a function
+of rows with ``ts <= t.ts`` only (window frames end at ``currentRow``).
+
+Everything here is built-in ``pyspark.sql.functions`` over window specs —
+JVM-side, whole-stage-codegen'd; no Python in the hot path. One window
+spec ``(partitionBy conv_id, orderBy ts, turn_idx)`` is shared by all
+features so Catalyst plans a SINGLE sort+window stage, not one per feature.
+
+At cluster scale the input should be range-partitioned by ``(conv_id, ts)``
+and sorted within partitions (Iceberg ``sortedBy``) so the window sort is
+cheap or elided; skewed mega-conversations are fine here because window
+functions process a partition's rows streamingly (running frames), unlike
+grouped UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "turn_order_window",
+    "with_lag_lead",
+    "sessionize",
+    "turn_features",
+    "conversation_aggregates",
+]
+
+
+def turn_order_window(
+    by: str = "conv_id", order: tuple[str, ...] = ("ts", "turn_idx")
+):
+    """The canonical per-conversation event-time ordering.
+
+    ``turn_idx`` tie-breaks equal timestamps so ordering is total and
+    deterministic — the per-turn text-equality invariant
+    (BASELINE.json ``input_hint``) depends on this.
+    """
+    return Window.partitionBy(by).orderBy(*[F.col(c) for c in order])
+
+
+def with_lag_lead(
+    df: DataFrame,
+    cols: dict[str, tuple[str, int]],
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """Add lag/lead columns: ``cols`` maps output name → (source col, offset)
+    where negative offset = lag, positive = lead."""
+    w = turn_order_window(by, order)
+    for out, (src, off) in cols.items():
+        fn = F.lag(src, -off) if off < 0 else F.lead(src, off)
+        df = df.withColumn(out, fn.over(w))
+    return df
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    by: str = "conv_id",
+    ts_col: str = "ts",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    out: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous turn exceeds ``gap_seconds``.
+
+    lag(ts) → gap flag → running sum over the same window = session ordinal
+    (0-based) within the conversation. One shuffle on ``by``, one sort —
+    shared with every other window feature downstream.
+    """
+    w = turn_order_window(by, order)
+    prev_ts = F.lag(ts_col).over(w)
+    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    new_session = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    running = Window.partitionBy(by).orderBy(*[F.col(c) for c in order]).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn(out, F.sum(new_session).over(running) - F.lit(1))
+
+
+def turn_features(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    recent_k: int = 5,
+) -> DataFrame:
+    """The engine's standard per-turn point-in-time feature set.
+
+    Adds (all leakage-free — frames end at the current row):
+
+    - ``text_len``, ``token_count`` — current-turn text stats;
+    - ``is_user/is_assistant/is_tool`` — role indicators;
+    - ``time_since_prev`` — seconds since previous turn (0 at conv start);
+    - ``lag1_text_len``, ``lag2_text_len`` — previous turns' text length;
+    - ``session_id``, ``session_turn_idx``, ``session_elapsed`` — gap-based
+      session ordinal / position / age;
+    - ``cum_tool_calls``, ``cum_user_turns`` — running counts;
+    - ``tool_calls_last_k``, ``avg_text_len_last_k`` — sliding window over
+      the trailing ``recent_k`` turns (inclusive);
+    - ``label_next_is_tool`` — supervised target: does the NEXT turn use a
+      tool (lead — a label, not a feature).
+    """
+    w = turn_order_window()
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    recent = w.rowsBetween(-(recent_k - 1), Window.currentRow)
+
+    is_tool = F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)
+    prev_ts = F.lag("ts").over(w)
+
+    df = sessionize(df, gap_seconds=gap_seconds)
+    sess_w = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
+    sess_running = sess_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    return (
+        df.withColumn("text_len", F.length("text").cast("double"))
+        .withColumn("token_count", F.size(F.split(F.col("text"), r"\s+")).cast("double"))
+        .withColumn("is_user", F.when(F.col("role") == "user", 1.0).otherwise(0.0))
+        .withColumn(
+            "is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)
+        )
+        .withColumn("is_tool", is_tool)
+        .withColumn(
+            "time_since_prev",
+            F.coalesce(
+                F.col("ts").cast("long") - prev_ts.cast("long"), F.lit(0)
+            ).cast("double"),
+        )
+        .withColumn("lag1_text_len", F.lag(F.length("text"), 1).over(w).cast("double"))
+        .withColumn("lag2_text_len", F.lag(F.length("text"), 2).over(w).cast("double"))
+        .withColumn("session_turn_idx", (F.row_number().over(sess_w) - 1).cast("double"))
+        .withColumn(
+            "session_elapsed",
+            (
+                F.col("ts").cast("long")
+                - F.first(F.col("ts").cast("long")).over(sess_running)
+            ).cast("double"),
+        )
+        .withColumn("cum_tool_calls", F.sum(is_tool).over(running).cast("double"))
+        .withColumn(
+            "cum_user_turns",
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
+            .over(running)
+            .cast("double"),
+        )
+        .withColumn("tool_calls_last_k", F.sum(is_tool).over(recent).cast("double"))
+        .withColumn(
+            "avg_text_len_last_k", F.avg(F.length("text")).over(recent).cast("double")
+        )
+        .withColumn(
+            "label_next_is_tool",
+            F.coalesce(
+                F.lead(F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)).over(w),
+                F.lit(0.0),
+            ),
+        )
+    )
+
+
+TURN_FEATURE_COLS = [
+    "text_len",
+    "token_count",
+    "is_user",
+    "is_assistant",
+    "is_tool",
+    "time_since_prev",
+    "lag1_text_len",
+    "lag2_text_len",
+    "session_turn_idx",
+    "session_elapsed",
+    "cum_tool_calls",
+    "cum_user_turns",
+    "tool_calls_last_k",
+    "avg_text_len_last_k",
+]
+
+
+def conversation_aggregates(df: DataFrame) -> DataFrame:
+    """Per-conversation rollup (one hash-agg shuffle, map-side partials):
+    turn counts, tool usage, session count, duration."""
+    sess = sessionize(df)
+    return sess.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
+        F.countDistinct("tool").alias("n_distinct_tools"),
+        (F.max("session_id") + 1).alias("n_sessions"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_sec"
+        ),
+        F.avg(F.length("text")).alias("avg_text_len"),
+    )
