@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from featurescreening_jl_spark.functions.time import epoch_seconds
+
 __all__ = ["asof_join"]
 
 _MATCH_TS = "__asof_src_ts"
@@ -82,7 +84,7 @@ def asof_join(
         raise ValueError(f"unknown strategy: {strategy!r}")
 
     if tolerance_seconds is not None:
-        age = F.col(on).cast("long") - F.col(_MATCH_TS).cast("long")
+        age = epoch_seconds(F.col(on)) - epoch_seconds(F.col(_MATCH_TS))
         keep = F.col(_MATCH_TS).isNotNull() & (age <= tolerance_seconds)
         for v in value_cols:
             out = out.withColumn(v, F.when(keep, F.col(v)))
@@ -198,7 +200,7 @@ def _asof_bucketed(
     allow_exact: bool,
     bucket_seconds: int,
 ) -> DataFrame:
-    bucket = (F.col(on).cast("long") / bucket_seconds).cast("long")
+    bucket = (epoch_seconds(F.col(on)) / bucket_seconds).cast("long")
     q_b = queries.withColumn("__bkt", bucket)
     s_b = sources.withColumn("__bkt", bucket)
 

@@ -1,0 +1,248 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Five dedup families, each expressed so the expensive part is a Spark
+shuffle/join Catalyst can plan — never a driver-side loop:
+
+- exact           — hash-groupBy on normalized content; one shuffle.
+- minhash_lsh     — shingle → minhash signature (JVM-side xxhash64 with k
+                    salts) → band → bucket-join; candidate pairs verified
+                    by true Jaccard. The standard near-dup pipeline at
+                    corpus scale: cost is driven by bucket collisions, not
+                    O(n²).
+- simhash         — 64-bit simhash of token sets via per-bit majority;
+                    near-dups = equal simhash (or banded sub-keys).
+- ngram_jaccard   — exact character-n-gram Jaccard for candidate pairs
+                    (the verifier inside minhash_lsh, usable standalone on
+                    small candidate sets).
+- embedding near-dup — see similarity.py (cosine threshold join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dedup_exact",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "minhash_dedup",
+    "simhash",
+    "simhash_dedup",
+    "ngram_jaccard_pairs",
+]
+
+
+def _norm(text):
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def dedup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the min-id row per identical (normalized) text.
+
+    One hash-agg shuffle keyed on the content hash (not the full text — the
+    shuffle moves 8-byte keys, the representative id, and nothing else).
+    """
+    key = F.xxhash64(_norm(F.col(text_col)) if normalize else F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), key.alias("__k"))
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, on=id_col, how="inner")  # AQE broadcasts if small
+
+
+def shingles(text, n: int = 3, words: bool = True):
+    """n-gram shingle array: word n-grams (default) or char n-grams."""
+    if words:
+        toks = F.split(_norm(text), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        )
+    t = _norm(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+
+
+def minhash_signature(shingle_col, num_hashes: int = 64):
+    """MinHash signature: for salt s in 0..k-1, min over shingles of
+    xxhash64(shingle, salt). All JVM-side array expressions — no UDF."""
+    def min_hash_with_salt(salt: int):
+        # closure-bound salt (a 2-param lambda would receive the array
+        # index as its second argument, silently replacing the salt)
+        return F.array_min(
+            F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(salt)))
+        )
+
+    return F.array(*[min_hash_with_salt(s) for s in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash LSH, verified by true
+    shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape: signature projection (no shuffle) → explode into
+    ``bands`` rows each → groupBy band-bucket (one shuffle of
+    (8B key, id)) → self-join within buckets → distinct pairs →
+    Jaccard verify on a join back to shingle arrays.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    sig = sh.select(
+        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    verified = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop near-duplicates: for every verified pair keep the smaller id.
+    (Greedy single-pass: removes the higher id of each pair — the standard
+    corpus-dedup policy; full connected-components clustering is the
+    iterative extension.)"""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash(text, num_bits: int = 64, shingle_n: int = 3):
+    """64-bit SimHash: per-bit majority vote over shingle hashes.
+
+    Bit i of the result = 1 iff more shingles hash to 1 than 0 at bit i.
+    Pure array expressions (aggregate over the shingle array).
+    """
+    sh = shingles(text, n=shingle_n)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+
+    def vote_at(bit: int):
+        # NB: bind via closure, not a default arg — pyspark passes a column
+        # for every lambda parameter it sees, defaults included.
+        mask = F.lit(1 << bit).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote_at(i) for i in range(num_bits)]
+    out = F.lit(0).cast("long")
+    for i, vote in enumerate(bit_votes):
+        out = out + F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    num_bits: int = 32,
+) -> DataFrame:
+    """Keep min-id per identical simhash (hamming-0 dedup; banded sub-key
+    joins generalize to hamming-k)."""
+    with_h = df.withColumn("__sim", simhash(F.col(text_col), num_bits=num_bits))
+    keep = with_h.groupBy("__sim").agg(F.min(id_col).alias(id_col)).select(id_col)
+    return df.join(keep, on=id_col, how="inner")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard above a threshold. O(n²) self-join —
+    for small candidate sets or verification; at corpus scale use
+    minhash_lsh_pairs which prunes candidates first."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

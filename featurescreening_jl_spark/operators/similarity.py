@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``  — exact cosine top-k: a broadcast of the (small)
+  query set against the corpus, dot products in codegen via higher-order
+  functions, TakeOrderedAndProject for the top-k. The correctness baseline.
+- ``lsh_topk``          — the scale path: random-hyperplane LSH buckets
+  (sign-bit sketch, JVM-side) prune the corpus to colliding buckets before
+  exact re-scoring. Probe multiple hash tables for recall.
+- ``cosine_neardup_pairs`` — embedding near-duplicate detection: pairs with
+  cosine ≥ threshold, LSH-bucketed to avoid the O(n²) self-join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.functions.vector import cosine, dot, norm
+
+__all__ = ["brute_force_topk", "lsh_topk", "cosine_neardup_pairs"]
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: (query_id, embedding). Broadcast-joined against the corpus
+    (query sets are small; the corpus never shuffles), ranked per query.
+    Deterministic tie-break: similarity desc, then corpus id asc.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    sim = cosine(F.col(vec_col), F.col("__qvec"))
+    if round_decimals is not None:
+        sim = F.round(sim, round_decimals)
+    scored = corpus.select(id_col, vec_col).crossJoin(q).select(
+        query_id_col, id_col, sim.alias("similarity")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("similarity"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "similarity", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def _sketch(vec_col, planes: list[list[float]]):
+    """Sign-bit LSH sketch: bit j = sign(<v, plane_j>). Pure expressions."""
+    bits = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
+        bits = bits + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bits
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only corpus rows sharing an LSH bucket with
+    the query in ANY of ``n_tables`` hash tables. At 10^9 vectors this
+    turns a full scan per query into a few bucket lookups; recall is tuned
+    by (n_planes, n_tables)."""
+    if dim is None:
+        dim = len(queries.select(vec_col).first()[0])
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    c_keys = corpus.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _sketch(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(id_col, vec_col, "__tb.table", "__tb.bucket")
+
+    q_keys = queries.select(
+        query_id_col,
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _sketch(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(query_id_col, "__qvec", "__tb.table", "__tb.bucket")
+
+    cand = (
+        c_keys.join(F.broadcast(q_keys), on=["table", "bucket"])
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("similarity"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("similarity"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "similarity", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold), bucketed by
+    sign-LSH so the self-join runs within buckets, not across the corpus."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    keyed = df.select(
+        id_col,
+        vec_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        _sketch(F.col(vec_col), planes).alias("bucket"),
+                    )
+                    for t, planes in enumerate(tables)
+                ]
+            )
+        ).alias("__tb"),
+    ).select(id_col, vec_col, "__tb.table", "__tb.bucket")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.table") == F.col("b.table"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("similarity", cosine(F.col("__va"), F.col("__vb")))
+        .where(F.col("similarity") >= threshold)
+        .select("id_a", "id_b", "similarity")
+    )
+    return pairs

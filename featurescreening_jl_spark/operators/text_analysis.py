@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure built-in ``pyspark.sql.functions`` column expressions — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. Each returns columns, so
+they compose into a single projection over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "token_count",
+    "char_count",
+    "quality_features",
+    "language_id",
+    "fingerprint",
+    "document_features",
+]
+
+# tiny per-language stopword marker sets for the n-gram language heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+_EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by", "that", "this",
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty strings)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: split on word/number/punctuation
+    boundaries (a regex proxy for subword tokenizers — counts runs of
+    letters, runs of digits, and individual punctuation marks)."""
+    pieces = F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"), 0)
+    return F.size(pieces)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Quality-scoring signals: length, mean word length, punctuation
+    ratio, uppercase ratio, stopword ratio, all-caps-ness."""
+    n_chars = F.length(text).cast("double")
+    n_tokens = token_count(text).cast("double")
+    safe_chars = F.when(n_chars > 0, n_chars).otherwise(F.lit(1.0))
+    safe_tokens = F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1.0))
+    n_punct = (
+        n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    ).cast("double")
+    n_upper = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[A-Z]", ""))
+    ).cast("double")
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_word_len": n_chars / safe_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+        "stopword_ratio": n_stop / safe_tokens,
+    }
+
+
+def language_id(text: Column) -> Column:
+    """Marker-word language heuristic: the language whose marker words occur
+    most often wins; 'und' (undetermined) when nothing matches."""
+    words = F.split(F.lower(text), r"\s+")
+
+    def marker_score(markers: list[str]):
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    scores = [(lang, marker_score(m)) for lang, m in _LANG_MARKERS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (deterministic)
+    for lang, score in reversed(scores):
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column, normalize: bool = True) -> Column:
+    """64-bit document fingerprint: xxhash64 over whitespace/case-normalized
+    text. Stable across partitions and runs (pure function of content)."""
+    t = text
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(t)
+
+
+def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full text-analysis feature set to a document table."""
+    text = F.col(text_col)
+    out = df
+    for name, col in quality_features(text).items():
+        out = out.withColumn(name, col)
+    return (
+        out.withColumn("lang_pred", language_id(text))
+        .withColumn("fingerprint", fingerprint(text))
+        .withColumn("bpe_ish_tokens", bpe_ish_token_count(text).cast("double"))
+    )

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from featurescreening_jl_spark.functions.time import epoch_seconds
+
 __all__ = [
     "turn_order_window",
     "with_lag_lead",
@@ -75,7 +77,7 @@ def sessionize(
     """
     w = turn_order_window(by, order)
     prev_ts = F.lag(ts_col).over(w)
-    gap = F.col(ts_col).cast("long") - prev_ts.cast("long")
+    gap = epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts)
     new_session = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     running = Window.partitionBy(by).orderBy(*[F.col(c) for c in order]).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -126,7 +128,7 @@ def turn_features(
         .withColumn(
             "time_since_prev",
             F.coalesce(
-                F.col("ts").cast("long") - prev_ts.cast("long"), F.lit(0)
+                epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts), F.lit(0)
             ).cast("double"),
         )
         .withColumn("lag1_text_len", F.lag(F.length("text"), 1).over(w).cast("double"))
@@ -135,8 +137,8 @@ def turn_features(
         .withColumn(
             "session_elapsed",
             (
-                F.col("ts").cast("long")
-                - F.first(F.col("ts").cast("long")).over(sess_running)
+                epoch_seconds(F.col("ts"))
+                - F.first(epoch_seconds(F.col("ts"))).over(sess_running)
             ).cast("double"),
         )
         .withColumn("cum_tool_calls", F.sum(is_tool).over(running).cast("double"))
@@ -187,7 +189,7 @@ def conversation_aggregates(df: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias("n_tool_calls"),
         F.countDistinct("tool").alias("n_distinct_tools"),
         (F.max("session_id") + 1).alias("n_sessions"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+        (F.max(epoch_seconds(F.col("ts"))) - F.min(epoch_seconds(F.col("ts")))).alias(
             "duration_sec"
         ),
         F.avg(F.length("text")).alias("avg_text_len"),

@@ -1,0 +1,215 @@
+"""Tests for the training-data pipeline operators: dedup families,
+similarity search, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.functions.vector import cosine
+from featurescreening_jl_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+    shingles,
+)
+from featurescreening_jl_spark.operators.multimodal import (
+    attach_media_metadata,
+    extract_media_features,
+    sample_frames,
+)
+from featurescreening_jl_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_neardup_pairs,
+    lsh_topk,
+)
+from featurescreening_jl_spark.operators.text_analysis import document_features
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    df = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+class TestDedupExact:
+    def test_duplicates_removed(self, spark):
+        rows = [(0, "hello  world"), (1, "Hello World"), (2, "other text"),
+                (3, "hello world")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_exact(df).orderBy("doc_id").toPandas()
+        # normalization folds case+whitespace: 0,1,3 identical → keep 0
+        assert out["doc_id"].tolist() == [0, 2]
+
+    def test_no_normalize(self, spark):
+        rows = [(0, "a"), (1, "A")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert dedup_exact(df, normalize=False).count() == 2
+
+
+class TestMinhash:
+    def test_near_dups_found_far_pairs_absent(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        near = base.replace("today", "tomorrow")
+        far = "completely unrelated content about spark query planning and shuffles"
+        df = spark.createDataFrame(
+            [(0, base), (1, near), (2, far)], "doc_id long, text string"
+        )
+        pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
+        assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(0, 1)}
+
+    def test_dedup_keeps_min_id(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        df = spark.createDataFrame(
+            [(5, base), (9, base + " extra"), (1, "something else entirely here now")],
+            "doc_id long, text string",
+        )
+        out = minhash_dedup(df, jaccard_threshold=0.5).orderBy("doc_id").toPandas()
+        assert out["doc_id"].tolist() == [1, 5]
+
+    def test_runs_on_real_documents(self, documents):
+        pairs = minhash_lsh_pairs(
+            documents.limit(200), jaccard_threshold=0.8
+        )
+        assert pairs.count() >= 0  # executes end-to-end
+
+
+class TestSimhashAndJaccard:
+    def test_simhash_dedup_identical_texts(self, spark):
+        df = spark.createDataFrame(
+            [(0, "aaa bbb ccc ddd"), (1, "aaa bbb ccc ddd"), (2, "xyz qrs tuv wxy")],
+            "doc_id long, text string",
+        )
+        out = simhash_dedup(df).orderBy("doc_id").toPandas()
+        assert out["doc_id"].tolist() == [0, 2]
+
+    def test_ngram_jaccard_golden(self, spark):
+        # hand-checkable: shared word trigrams
+        df = spark.createDataFrame(
+            [(0, "a b c d"), (1, "a b c e")], "doc_id long, text string"
+        )
+        out = ngram_jaccard_pairs(df, threshold=0.0).toPandas()
+        # trigrams: {abc, bcd} vs {abc, bce} → jaccard = 1/3
+        assert len(out) == 1
+        assert abs(out["jaccard"].iloc[0] - 1 / 3) < 1e-9
+
+    def test_shingle_contents(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        got = df.select(shingles(F.col("text"), n=2).alias("s")).first()["s"]
+        assert sorted(got) == ["a b", "b c", "c d"]
+
+
+class TestSimilarity:
+    def test_brute_force_self_is_top1(self, spark, embeddings):
+        queries = embeddings.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = brute_force_topk(embeddings, queries, k=5).toPandas()
+        top1 = out[out["rank"] == 1]
+        assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+        assert np.allclose(top1["similarity"], 1.0, atol=1e-6)
+        # 5 results per query, similarity non-increasing per query
+        for qid, g in out.groupby("query_id"):
+            assert len(g) == 5
+            sims = g.sort_values("rank")["similarity"].to_numpy()
+            assert (np.diff(sims) <= 1e-12).all()
+
+    def test_lsh_recall_against_brute_force(self, spark, embeddings):
+        queries = embeddings.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = brute_force_topk(embeddings, queries, k=5).toPandas()
+        approx = lsh_topk(
+            embeddings, queries, k=5, n_planes=6, n_tables=8, seed=1
+        ).toPandas()
+        # recall@5 ≥ 0.5 with generous tables on this tiny corpus
+        hits = 0
+        for qid in range(5):
+            e = set(exact[exact["query_id"] == qid]["vec_id"])
+            a = set(approx[approx["query_id"] == qid]["vec_id"])
+            hits += len(e & a)
+        assert hits / 25 >= 0.5
+        # self-match always survives LSH (identical sketch)
+        top1 = approx[approx["rank"] == 1]
+        assert (top1["query_id"].to_numpy() == top1["vec_id"].to_numpy()).all()
+
+    def test_neardup_pairs_threshold(self, spark):
+        vecs = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+        ]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        pairs = cosine_neardup_pairs(df, threshold=0.95, dim=4,
+                                     n_planes=4, n_tables=8).toPandas()
+        assert {(r.id_a, r.id_b) for r in pairs.itertuples()} == {(0, 1)}
+
+
+class TestTextAnalysis:
+    def test_document_features(self, documents):
+        out = document_features(documents.limit(100))
+        pdf = out.toPandas()
+        assert (pdf["n_chars"] == pdf["text"].str.len()).all()
+        assert (pdf["n_tokens"] > 0).all()
+        assert pdf["punct_ratio"].between(0, 1).all()
+        assert pdf["stopword_ratio"].between(0, 1).all()
+        assert pdf["lang_pred"].isin(["en", "es", "de", "fr", "und"]).all()
+
+    def test_fingerprint_stable_and_normalizing(self, spark):
+        df = spark.createDataFrame(
+            [(0, "Hello  World"), (1, "hello world"), (2, "bye")],
+            "doc_id long, text string",
+        )
+        pdf = document_features(df).toPandas()
+        fp = dict(zip(pdf["doc_id"], pdf["fingerprint"]))
+        assert fp[0] == fp[1] != fp[2]
+
+
+class TestMultimodal:
+    @pytest.fixture(scope="class")
+    def media(self, spark):
+        rows = [
+            (0, "image", b"\x89PNGfakebytes0", (64, 64, None, "png")),
+            (1, "image", b"\x89PNGfakebytes0", (64, 64, None, "png")),  # dup payload
+            (2, "video", b"\x00\x00vid", (320, 240, 3500, "h264")),
+            (3, "audio", b"RIFFfake", (None, None, 2000, "pcm")),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int, height:int, duration_ms:int, codec:string>",
+        )
+
+    def test_metadata_and_payload_dedup_keys(self, media):
+        out = attach_media_metadata(media).toPandas()
+        assert (out["payload_bytes"] > 0).all()
+        h = dict(zip(out["media_id"], out["payload_hash"]))
+        assert h[0] == h[1] != h[2]
+
+    def test_feature_extraction_deterministic(self, media):
+        a = extract_media_features(media).orderBy("media_id").toPandas()
+        b = extract_media_features(media).orderBy("media_id").toPandas()
+        assert a["feature"].map(tuple).tolist() == b["feature"].map(tuple).tolist()
+        assert all(len(f) == 16 for f in a["feature"])
+        # identical payloads → identical features
+        assert tuple(a["feature"][0]) == tuple(a["feature"][1])
+
+    def test_frame_sampling(self, media):
+        frames = sample_frames(media.where(F.col("kind") == "video"),
+                               every_ms=1000).toPandas()
+        assert frames["frame_ts_ms"].tolist() == [0, 1000, 2000]
