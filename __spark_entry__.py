@@ -98,7 +98,8 @@ def entry(spark: SparkSession) -> DataFrame:
         ff,
         reduced_size=3,
         step_size=3,
-        config={"n_trees": 20, "min_samples_leaf": 5, "min_purity_increase": 0.0},
+        config={"n_trees": 20, "max_depth": 8, "min_samples_leaf": 5,
+                "min_purity_increase": 0.0},
         rng=42,
         show_progress=False,
     )
@@ -311,7 +312,8 @@ def q_screen_pipeline(spark, sf):
         ff,
         reduced_size=3,
         step_size=3,
-        config={"n_trees": 20, "min_samples_leaf": 5, "min_purity_increase": 0.0},
+        config={"n_trees": 20, "max_depth": 8, "min_samples_leaf": 5,
+                "min_purity_increase": 0.0},
         rng=42,
         show_progress=False,
     )

@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at sf0.1.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...extras}``
+
+Env knobs: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+``SPARK_GRAFT_CPUS`` (default 32). Each query is fully materialized via the
+noop sink (count() alone would let Catalyst prune the work away).
+
+The two-parallelism scaling run (N vs 4N cores — the sandbox proxy for N vs
+4N executors) lives in tools/bench_scaling.py; its results go to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "projection",
+    "column_merge_join",
+    "hash_count_agg",
+    "topk",
+    "select_top_fraction",
+    "lag_lead_window",
+    "sessionize",
+    "running_agg",
+    "asof_join_window",
+    "asof_join_bucketed",
+    "multi_agg_rollup",
+    "dedup_exact",
+    "text_stats",
+    "cosine_topk",
+    "minhash_pairs",
+    "screen_pipeline",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from featurescreening_jl_spark.plans.session import get_spark
+
+    spark = get_spark("bench", parallelism=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen once with a cheap query
+    materialize(qs["hash_count_agg"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # screening-round throughput: events processed per second through the
+    # full featurize→screen pipeline (the BASELINE.md target metric)
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    turns_per_sec = round(n_events / timings["screen_pipeline"], 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "screen_turns_per_sec": turns_per_sec,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

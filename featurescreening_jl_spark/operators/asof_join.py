@@ -176,7 +176,7 @@ def _asof_merge(
         spdf = spdf.sort_values(_MATCH_TS, kind="mergesort")
         res = pd.merge_asof(
             qpdf,
-            spdf.drop(columns=[by]),
+            spdf.drop(columns=[by], errors="ignore"),
             left_on=on,
             right_on=_MATCH_TS,
             direction="backward",
@@ -204,12 +204,23 @@ def _asof_bucketed(
     q_b = queries.withColumn("__bkt", bucket)
     s_b = sources.withColumn("__bkt", bucket)
 
-    # ---- phase 1: as-of WITHIN each (key, time-bucket) salt group --------
+    # ---- phase 1: as-of WITHIN each time bucket ---------------------------
+    # The cogroup key is the bucket ALONE: one pandas group per bucket, all
+    # join keys inside handled vectorized by merge_asof(by=key). Group count
+    # is #buckets and group size is rows/bucket — balanced no matter how
+    # skewed the keys — whereas grouping on (key, bucket) would explode into
+    # keys × buckets tiny groups and drown in per-group overhead.
     schema = _merged_schema(q_b, s_b, on, value_cols)
     out_cols = [f.name for f in schema.fields]
-    src_proj = s_b.select(by, "__bkt", F.col(on).alias(_MATCH_TS), *value_cols)
+    # the key is re-aliased on the source side: when queries and sources
+    # share lineage (self-as-of), the cogroup planner deduplicates right
+    # attributes that alias left ones and would drop the key column
+    src_proj = s_b.select(
+        F.col(by).alias("__src_by"), "__bkt",
+        F.col(on).alias(_MATCH_TS), *value_cols,
+    )
 
-    def join_group(qpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(qpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty:
             return pd.DataFrame(columns=out_cols)
         qpdf = qpdf.sort_values(on, kind="mergesort")
@@ -219,21 +230,23 @@ def _asof_bucketed(
             for v in value_cols:
                 res[v] = None
             return res[out_cols]
+        spdf = spdf.rename(columns={"__src_by": by})
         spdf = spdf.sort_values(_MATCH_TS, kind="mergesort")
         res = pd.merge_asof(
             qpdf,
-            spdf.drop(columns=[by, "__bkt"]),
+            spdf.drop(columns=["__bkt"]),
             left_on=on,
             right_on=_MATCH_TS,
+            by=by,
             direction="backward",
             allow_exact_matches=allow_exact,
         )
         return res[out_cols]
 
     phase1 = (
-        q_b.groupBy(by, "__bkt")
-        .cogroup(src_proj.groupBy(by, "__bkt"))
-        .applyInPandas(join_group, schema=schema)
+        q_b.groupBy("__bkt")
+        .cogroup(src_proj.groupBy("__bkt"))
+        .applyInPandas(join_bucket, schema=schema)
     )
 
     # ---- phase 2: carry-in = last source value from strictly earlier
@@ -247,8 +260,11 @@ def _asof_bucketed(
     src_keyed = rollup.select(
         by, (F.col("__bkt") + 1).alias("__k"), F.lit(0).alias("__isq"), "__last"
     )
+    # NB: query buckets come from the INPUT queries, not phase1 — deriving
+    # them from phase1 would put the expensive cogroup on two plan branches
+    # and execute it twice.
     qry_keyed = (
-        phase1.select(by, "__bkt")
+        q_b.select(by, "__bkt")
         .distinct()
         .select(
             by,

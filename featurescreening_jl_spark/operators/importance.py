@@ -131,12 +131,27 @@ def fit_forest(
     seed: int = 0,
 ) -> RandomForestClassificationModel:
     """Fit a random forest on the frame — the reference's ``build_forest``
-    call site (/root/reference/src/importance.jl:47), Spark ML flavored."""
+    call site (/root/reference/src/importance.jl:47), Spark ML flavored.
+
+    The assembled training frame is repartitioned to the cluster's default
+    parallelism and persisted for the duration of the fit: RF training runs
+    one Spark job per tree-depth level, and without these two steps every
+    level would (a) re-derive the full upstream featurization lineage and
+    (b) inherit whatever narrow partitioning AQE coalesced the input to —
+    on a 32-core cluster an AQE-coalesced 2-partition input caps every
+    training iteration at 2-way parallelism.
+    """
     params = rf_params(config or {}, seed)
     rf = RandomForestClassifier(
         featuresCol="__features", labelCol="__label", **params
     )
-    return rf.fit(_assembled(ff))
+    spark = ff.df.sparkSession
+    assembled = _assembled(ff).repartition(spark.sparkContext.defaultParallelism)
+    assembled.persist()
+    try:
+        return rf.fit(assembled)
+    finally:
+        assembled.unpersist()
 
 
 _IF_FEATURE = re.compile(r"If \(feature (\d+) ")

@@ -64,6 +64,7 @@ def screen(
     dump_dir: Optional[str] = None,
     checkpoint: Any = None,
     resume_from: Optional[str] = None,
+    cache: bool = True,
 ) -> FeatureFrame:
     """Screen a FeatureFrame down to its most important features.
 
@@ -87,6 +88,11 @@ def screen(
     - ``checkpoint`` — a ``RoundCheckpoint`` (sources.checkpoint); each
       round's survivor frame and lineage metrics are snapshotted, and
       ``resume_from`` re-enters the loop after the last completed round.
+    - ``cache`` — persist the base frame for the duration of the loop so
+      per-round fits don't re-derive its upstream lineage (featurization
+      windows, joins). Set False when the base table is too large to cache
+      — column pruning then bounds each round's scan to its
+      ≤ reduced_size + step_size columns instead.
     """
     if reduced_size is not None and selection_mode is not None:
         raise AssertionError(
@@ -133,6 +139,9 @@ def screen(
             selected_names = state["selected"]
             log.info("resuming at round %d with %d survivors",
                      start_round, len(selected_names))
+
+    if cache:
+        ff.df.persist()
 
     n_rounds = len(parts)
     for i, part in enumerate(parts):
@@ -185,4 +194,7 @@ def screen(
                 i + 1, n_rounds, to_be_selected.n_features, len(selected_names),
             )
 
-    return ff.select_features(selected_names)
+    result = ff.select_features(selected_names)
+    if cache:
+        ff.df.unpersist()
+    return result
