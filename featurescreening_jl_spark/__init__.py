@@ -17,7 +17,16 @@ from featurescreening_jl_spark.operators.importance import (
     fit_forest,
     split_counts,
 )
+from featurescreening_jl_spark.operators.asof_join import asof_join
 from featurescreening_jl_spark.operators.screen import screen
+from featurescreening_jl_spark.operators.window_features import (
+    conversation_aggregates,
+    sessionize,
+    turn_features,
+    with_lag_lead,
+)
+from featurescreening_jl_spark.sources.checkpoint import RoundCheckpoint
+from featurescreening_jl_spark.sources.transcripts import synthetic_transcripts
 from featurescreening_jl_spark.operators.selection import (
     ComposedSelectionMode,
     SelectByImportance,
@@ -44,6 +53,13 @@ __all__ = [
     "split_counts",
     "DEFAULT_SCREEN_CONFIG",
     "DEFAULT_CONFIG_FOR_FEATURE_IMPORTANCE",
+    "asof_join",
+    "sessionize",
+    "turn_features",
+    "with_lag_lead",
+    "conversation_aggregates",
+    "synthetic_transcripts",
+    "RoundCheckpoint",
     "SelectionMode",
     "SelectTop",
     "SelectRandom",

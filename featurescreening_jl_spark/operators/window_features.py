@@ -131,8 +131,14 @@ def turn_features(
                 epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts), F.lit(0)
             ).cast("double"),
         )
-        .withColumn("lag1_text_len", F.lag(F.length("text"), 1).over(w).cast("double"))
-        .withColumn("lag2_text_len", F.lag(F.length("text"), 2).over(w).cast("double"))
+        .withColumn(
+            "lag1_text_len",
+            F.coalesce(F.lag(F.length("text"), 1).over(w).cast("double"), F.lit(0.0)),
+        )
+        .withColumn(
+            "lag2_text_len",
+            F.coalesce(F.lag(F.length("text"), 2).over(w).cast("double"), F.lit(0.0)),
+        )
         .withColumn("session_turn_idx", (F.row_number().over(sess_w) - 1).cast("double"))
         .withColumn(
             "session_elapsed",

@@ -1,0 +1,120 @@
+"""Batch screening job — the engine's spark-submit entry point.
+
+The PySpark counterpart of the reference CLI ``./screen INPUT [OUTPUT]``
+(/root/reference/screen:18-40, flag defaults :35-38): file-to-file feature
+screening with the same knobs, plus the graft's featurization mode that
+takes raw transcripts instead of a prebuilt feature matrix.
+
+Usage (cluster):
+    spark-submit --py-files dist/featurescreening_jl_spark.zip \
+        jobs/screen_job.py --input <parquet|table> --output <dir> \
+        [--from-transcripts] [--reduced-size 200] [--step-size 2000] \
+        [--shuffle] [--random-seed 1] [--n-trees 1000] [--max-depth -1] \
+        [--checkpoint-dir <dir>] [--resume] [--verbosity 1]
+
+Build the zip with:  python tools/package.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet path or table name")
+    p.add_argument("--output", required=True, help="output parquet path")
+    p.add_argument("--from-transcripts", action="store_true",
+                   help="input is a raw transcripts table: featurize first")
+    p.add_argument("--label-col", default="label")
+    p.add_argument("--id-col", default="sample_id")
+    # screening knobs (reference CLI defaults, /root/reference/screen:35-38)
+    p.add_argument("--reduced-size", type=int, default=200)
+    p.add_argument("--step-size", type=int, default=2000)
+    p.add_argument("--shuffle", action="store_true")
+    p.add_argument("--random-seed", type=int, default=None)
+    # forest knobs (DEFAULT_SCREEN_CONFIG,
+    # /root/reference/src/FeatureScreening.jl:54-61)
+    p.add_argument("--n-trees", type=int, default=1000)
+    p.add_argument("--n-subfeatures", type=int, default=-1)
+    p.add_argument("--partial-sampling", type=float, default=0.9)
+    p.add_argument("--max-depth", type=int, default=-1)
+    p.add_argument("--min-samples-leaf", type=int, default=10)
+    p.add_argument("--min-samples-split", type=int, default=10)
+    p.add_argument("--min-purity-increase", type=float, default=0.0)
+    # ops
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint-dir's last completed round")
+    p.add_argument("--sessionize-gap", type=int, default=1800)
+    p.add_argument("--verbosity", type=int, default=1)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    logging.basicConfig(level=logging.INFO if args.verbosity else logging.WARNING)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from featurescreening_jl_spark import FeatureFrame, screen
+    from featurescreening_jl_spark.sources.checkpoint import RoundCheckpoint
+
+    spark = SparkSession.builder.appName("screen-job").getOrCreate()
+
+    if args.from_transcripts:
+        from featurescreening_jl_spark.operators.window_features import (
+            TURN_FEATURE_COLS,
+            turn_features,
+        )
+
+        raw = (
+            spark.read.parquet(args.input)
+            if "/" in args.input
+            else spark.table(args.input)
+        )
+        feats = turn_features(raw, gap_seconds=args.sessionize_gap).select(
+            (F.xxhash64("conv_id") + F.col("turn_idx")).alias("sample_id"),
+            F.when(F.col("label_next_is_tool") > 0, "tool")
+            .otherwise("no_tool")
+            .alias("label"),
+            *[F.col(c) for c in TURN_FEATURE_COLS],
+        )
+        ff = FeatureFrame(feats, TURN_FEATURE_COLS)
+    else:
+        ff = FeatureFrame.load(spark, args.input, label_col=args.label_col,
+                               id_col=args.id_col)
+
+    config = {
+        "n_trees": args.n_trees,
+        "n_subfeatures": args.n_subfeatures,
+        "partial_sampling": args.partial_sampling,
+        "max_depth": args.max_depth,
+        "min_samples_leaf": args.min_samples_leaf,
+        "min_samples_split": args.min_samples_split,
+        "min_purity_increase": args.min_purity_increase,
+    }
+    ckpt = RoundCheckpoint(args.checkpoint_dir) if args.checkpoint_dir else None
+
+    result = screen(
+        ff,
+        reduced_size=args.reduced_size,
+        step_size=args.step_size,
+        config=config,
+        shuffle=args.shuffle,
+        rng=args.random_seed,
+        dump_dir=(f"{args.output}_importances" if args.verbosity >= 1 else None),
+        checkpoint=ckpt,
+        resume_from=(args.checkpoint_dir if args.resume else None),
+        show_progress=bool(args.verbosity),
+    )
+    result.save(args.output)
+    logging.info("screened %d features -> %s", result.n_features, args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
