@@ -27,83 +27,103 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# flagship
+# derived transcripts table (the north_rule input shape)
+# ---------------------------------------------------------------------------
+#
+# BASELINE.json input_hint mandates the exact shape
+# (conv_id string, turn_idx int, role string, text string, tool string,
+# ts timestamp). The driver's testdata has no transcripts table, so one is
+# DERIVED deterministically from events × documents with pure modular
+# arithmetic — the identical table is reconstructable in DuckDB SQL, which
+# makes every transcripts-pipeline query oracle-checkable. (The package's
+# own synthetic generator, sources/transcripts.py, covers tests/bench at
+# arbitrary scale; this derivation exists for the oracle contract.)
+
+_TRANSCRIPTS_SQL = """
+    SELECT 'conv_' || e.user_id::VARCHAR AS conv_id,
+           (row_number() OVER (PARTITION BY e.user_id
+                               ORDER BY e.ts, e.event_id) - 1)::INT AS turn_idx,
+           CASE e.event_id % 3 WHEN 0 THEN 'user'
+                               WHEN 1 THEN 'assistant'
+                               ELSE 'tool' END AS role,
+           d.text AS text,
+           CASE WHEN e.event_id % 3 = 2
+                THEN ['search','bash','sql','browser'][(e.event_id % 4 + 1)::INT]
+                ELSE NULL END AS tool,
+           e.ts AS ts
+    FROM events e JOIN documents d ON d.doc_id = e.event_id % 500
+"""
+
+
+def _transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("__doc_text")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tools = F.array(*[F.lit(t) for t in ("search", "bash", "sql", "browser")])
+    m3 = F.col("event_id") % 3
+    return (
+        ev.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .join(F.broadcast(docs), F.col("event_id") % 500 == F.col("doc_id"))
+        .select(
+            F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            F.when(m3 == 0, "user")
+            .when(m3 == 1, "assistant")
+            .otherwise("tool")
+            .alias("role"),
+            F.col("__doc_text").alias("text"),
+            F.when(
+                m3 == 2, F.element_at(tools, (F.col("event_id") % 4 + 1).cast("int"))
+            ).alias("tool"),
+            "ts",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: transcripts → point-in-time featurization → RF tournament screen
 # ---------------------------------------------------------------------------
 
 
-def _event_features(events: DataFrame) -> "DataFrame":
-    """Point-in-time features per event: sessionization, lag, running
-    aggregates over (user_id / ts, event_id) — all frames end at the
-    current row (zero temporal leakage)."""
-    from featurescreening_jl_spark.operators.window_features import (
-        sessionize,
-        with_lag_lead,
-    )
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df = sessionize(
-        events, gap_seconds=1800, by="user_id", order=("ts", "event_id")
-    )
-    df = with_lag_lead(
-        df,
-        {"lag1_value": ("value", -1), "lag2_value": ("value", -2)},
-        by="user_id",
-        order=("ts", "event_id"),
-    )
-    prev_ts = F.lag("ts").over(w)
-    return (
-        df.withColumn(
-            "time_since_prev",
-            F.coalesce(
-                epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts), F.lit(0)
-            ).cast("double"),
-        )
-        .withColumn("cum_events", F.count("*").over(running).cast("double"))
-        .withColumn("cum_value", F.sum("value").over(running).cast("double"))
-        .withColumn("session_id_f", F.col("session_id").cast("double"))
-        .withColumn("lag1_value", F.coalesce("lag1_value", F.lit(0.0)))
-        .withColumn("lag2_value", F.coalesce("lag2_value", F.lit(0.0)))
-        .withColumn(
-            "value_minus_lag1", F.col("value") - F.col("lag1_value")
-        )
-    )
-
-
-FLAGSHIP_FEATURES = [
-    "value",
-    "lag1_value",
-    "lag2_value",
-    "time_since_prev",
-    "cum_events",
-    "cum_value",
-    "session_id_f",
-    "value_minus_lag1",
-]
-
-
-def entry(spark: SparkSession) -> DataFrame:
-    """Featurize sf0.001 events, screen the feature set with the RF
-    tournament, return the screened feature matrix."""
+def _screen_transcripts(spark: SparkSession, sf: str) -> DataFrame:
+    """The full Layer-B → Layer-A pipeline of SURVEY.md §7.0: windowed
+    leakage-free featurization of the transcripts table, then the
+    random-forest tournament screening loop."""
     from featurescreening_jl_spark import FeatureFrame, screen
-
-    events = _t(spark, SF_DEFAULT, "events")
-    feats = _event_features(events).select(
-        F.col("event_id").alias("sample_id"),
-        F.col("event_type").alias("label"),
-        *[F.col(c) for c in FLAGSHIP_FEATURES],
+    from featurescreening_jl_spark.operators.window_features import (
+        TURN_FEATURE_COLS,
+        turn_features,
     )
-    ff = FeatureFrame(feats, FLAGSHIP_FEATURES)
+
+    t = _transcripts(spark, sf)
+    feats = turn_features(t).select(
+        F.xxhash64("conv_id", "turn_idx").alias("sample_id"),
+        F.when(F.col("label_next_is_tool") > 0, "tool")
+        .otherwise("no_tool")
+        .alias("label"),
+        *[F.col(c) for c in TURN_FEATURE_COLS],
+    )
+    ff = FeatureFrame(feats, TURN_FEATURE_COLS)
     result = screen(
         ff,
-        reduced_size=3,
-        step_size=3,
-        config={"n_trees": 20, "max_depth": 8, "min_samples_leaf": 5,
+        reduced_size=4,
+        step_size=5,
+        config={"n_trees": 20, "max_depth": 8, "min_samples_leaf": 10,
                 "min_purity_increase": 0.0},
         rng=42,
         show_progress=False,
     )
     return result.df
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Featurize the sf0.001 transcripts, screen the per-turn feature set
+    with the RF tournament, return the screened feature matrix."""
+    return _screen_transcripts(spark, SF_DEFAULT)
 
 
 # ---------------------------------------------------------------------------
@@ -298,26 +318,226 @@ def q_minhash_pairs(spark, sf):
 
 
 def q_screen_pipeline(spark, sf):
-    # RF tournament — not SQL-expressible; rows-only check
-    from featurescreening_jl_spark import FeatureFrame, screen
+    # RF tournament over transcript turn features — not SQL-expressible;
+    # rows-only check
+    return _screen_transcripts(spark, sf)
 
-    events = _t(spark, sf, "events")
-    feats = _event_features(events).select(
-        F.col("event_id").alias("sample_id"),
-        F.col("event_type").alias("label"),
-        *[F.col(c) for c in FLAGSHIP_FEATURES],
+
+# ---------------------------------------------------------------------------
+# transcripts pipeline (north_rule shape), oracle-checked
+# ---------------------------------------------------------------------------
+
+
+def q_transcripts_shape(spark, sf):
+    # the exact input_hint schema + per-turn text equality under stable
+    # (conv_id, turn_idx) ordering — ts surfaced as epoch seconds so the
+    # value-hash is timezone-proof
+    t = _transcripts(spark, sf)
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        epoch_seconds(F.col("ts")).alias("ts_epoch"),
     )
-    ff = FeatureFrame(feats, FLAGSHIP_FEATURES)
-    result = screen(
-        ff,
-        reduced_size=3,
-        step_size=3,
-        config={"n_trees": 20, "max_depth": 8, "min_samples_leaf": 5,
-                "min_purity_increase": 0.0},
-        rng=42,
-        show_progress=False,
+
+
+def q_transcripts_turn_features(spark, sf):
+    from featurescreening_jl_spark.operators.window_features import turn_features
+
+    out = turn_features(_transcripts(spark, sf), gap_seconds=1800, recent_k=5)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "text",
+        "session_id",
+        "time_since_prev",
+        "lag1_text_len",
+        "session_turn_idx",
+        "session_elapsed",
+        "cum_tool_calls",
+        "tool_calls_last_k",
+        F.round("avg_text_len_last_k", 4).alias("avg_text_len_last_k"),
+        "label_next_is_tool",
     )
-    return result.df
+
+
+def q_transcripts_conversation_agg(spark, sf):
+    from featurescreening_jl_spark.operators.window_features import (
+        conversation_aggregates,
+    )
+
+    agg = conversation_aggregates(_transcripts(spark, sf))
+    return agg.select(
+        "conv_id", "n_turns", "n_tool_calls", "n_distinct_tools",
+        "n_sessions", "duration_sec",
+        F.round("avg_text_len", 4).alias("avg_text_len"),
+    )
+
+
+def q_transcripts_asof_backfill(spark, sf):
+    # the north_star backfill: attach the latest preceding tool turn at
+    # every (conv_id, ts) cutoff — merge_asof (cogroup+applyInPandas) path
+    from featurescreening_jl_spark.operators.asof_join import asof_join
+
+    t = _transcripts(spark, sf)
+    queries_df = t.select("conv_id", "ts", "turn_idx")
+    sources = t.where(F.col("tool").isNotNull()).select(
+        "conv_id", "ts", F.col("tool").alias("last_tool")
+    )
+    out = asof_join(
+        queries_df, sources, on="ts", by="conv_id",
+        value_cols=["last_tool"], strategy="merge_asof",
+    )
+    return out.select("conv_id", "turn_idx", "last_tool")
+
+
+def q_asof_join_merge(spark, sf):
+    # third as-of strategy (cogroup + pandas.merge_asof) on the events shape
+    from featurescreening_jl_spark.operators.asof_join import asof_join
+
+    queries_df, sources = _asof_inputs(spark, sf)
+    out = asof_join(
+        queries_df, sources, on="ts", by="user_id",
+        value_cols=["last_purchase_value"], strategy="merge_asof",
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_doc_quality(spark, sf):
+    from featurescreening_jl_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+        quality_features,
+    )
+
+    docs = _t(spark, sf, "documents")
+    qf = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        qf["n_chars"].cast("long").alias("n_chars"),
+        qf["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(qf["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(qf["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(qf["upper_ratio"], 4).alias("upper_ratio"),
+        F.round(qf["stopword_ratio"], 4).alias("stopword_ratio"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_language_id(spark, sf):
+    from featurescreening_jl_spark.operators.text_analysis import language_id
+
+    return _t(spark, sf, "documents").select(
+        "doc_id", language_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def q_fingerprint_distinct(spark, sf):
+    # xxhash64 fingerprints aren't reproducible in DuckDB, but their COUNT
+    # must equal the count of distinct normalized texts (collision-free at
+    # this scale) — which is oracle-expressible.
+    from featurescreening_jl_spark.operators.text_analysis import fingerprint
+
+    docs = _t(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.agg(
+        F.countDistinct(fingerprint(F.col("text"))).alias("n_fp"),
+        F.countDistinct(norm).alias("n_text"),
+    )
+
+
+def q_ngram_jaccard(spark, sf):
+    # exact all-pairs word-3-gram Jaccard on a bounded slice (O(n²) —
+    # standalone verifier; minhash_lsh prunes candidates at corpus scale)
+    from featurescreening_jl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    out = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_simhash_dedup(spark, sf):
+    # xxhash64-seeded → rows-only check
+    from featurescreening_jl_spark.operators.dedup import simhash_dedup
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    return simhash_dedup(docs, num_bits=32).select("doc_id", "n_chars")
+
+
+def q_lsh_topk(spark, sf):
+    # numpy-seeded hyperplanes → rows-only check (recall vs brute force is
+    # asserted in tests/test_pipeline_ops.py)
+    from featurescreening_jl_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = lsh_topk(emb, queries_df, k=5, n_planes=8, n_tables=4, seed=42)
+    return out.select(
+        "query_id", "vec_id", F.round("similarity", 4).alias("similarity"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_cosine_neardup(spark, sf):
+    # LSH-bucketed embedding near-duplicate pairs → rows-only check
+    from featurescreening_jl_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings")
+    out = cosine_neardup_pairs(emb, threshold=0.9, n_planes=8, n_tables=4)
+    return out.select(
+        "id_a", "id_b", F.round("similarity", 4).alias("similarity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (payloads synthesized deterministically in-query)
+# ---------------------------------------------------------------------------
+
+
+def _media(spark, n: int = 64) -> DataFrame:
+    kinds = F.array(*[F.lit(k) for k in ("image", "audio", "video")])
+    return spark.range(0, n, 1, 8).select(
+        F.col("id").alias("media_id"),
+        F.element_at(kinds, (F.col("id") % 3 + 1).cast("int")).alias("kind"),
+        F.encode(
+            F.concat(F.lit("media-"), F.col("id").cast("string")), "utf-8"
+        ).alias("payload"),
+        F.struct(
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            ((F.col("id") % 7 + 1) * 1000).cast("int").alias("duration_ms"),
+            F.lit("h264").alias("codec"),
+        ).alias("meta"),
+    )
+
+
+def q_media_features(spark, sf):
+    # Arrow-batched mapInPandas decode plumbing; the deterministic fake
+    # decoder is sha256-based, so DuckDB can recompute it byte-for-byte
+    from featurescreening_jl_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    feats = extract_media_features(_media(spark))
+    return feats.select(
+        "media_id",
+        *[
+            F.round(F.col("feature")[j], 6).alias(f"f{j}")
+            for j in range(4)
+        ],
+    )
+
+
+def q_media_frame_sample(spark, sf):
+    from featurescreening_jl_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media(spark, 20), every_ms=700).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -339,6 +559,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "minhash_pairs": q_minhash_pairs,
         "screen_pipeline": q_screen_pipeline,
+        "asof_join_merge": q_asof_join_merge,
+        "transcripts_shape": q_transcripts_shape,
+        "transcripts_turn_features": q_transcripts_turn_features,
+        "transcripts_conversation_agg": q_transcripts_conversation_agg,
+        "transcripts_asof_backfill": q_transcripts_asof_backfill,
+        "doc_quality": q_doc_quality,
+        "language_id": q_language_id,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash_dedup": q_simhash_dedup,
+        "lsh_topk": q_lsh_topk,
+        "cosine_neardup": q_cosine_neardup,
+        "media_features": q_media_features,
+        "media_frame_sample": q_media_frame_sample,
     }
 
 
@@ -457,5 +691,222 @@ def oracle_sql() -> dict[str, str]:
                                 DESC, e.vec_id ASC) AS rank
               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             ) WHERE rank <= 5
+        """,
+        "asof_join_merge": """
+            SELECT q.event_id, q.user_id, s.value AS last_purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') q
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') s
+            ON q.user_id = s.user_id AND q.ts >= s.ts
+        """,
+        "transcripts_shape": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx, role, text, tool,
+                   floor(epoch(ts))::BIGINT AS ts_epoch
+            FROM t
+        """,
+        "transcripts_turn_features": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            s AS (
+              SELECT conv_id, turn_idx, text, ts,
+                     floor(epoch(ts))::BIGINT AS es,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS new_s,
+                     coalesce((floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT)::DOUBLE,
+                              0) AS time_since_prev,
+                     coalesce(lag(length(text)) OVER w, 0)::DOUBLE
+                         AS lag1_text_len,
+                     CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END AS is_tool
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            s2 AS (
+              SELECT *,
+                     (sum(new_s) OVER wr - 1)::BIGINT AS session_id,
+                     sum(is_tool) OVER wr AS cum_tool_calls,
+                     sum(is_tool) OVER wk AS tool_calls_last_k,
+                     round(avg(length(text)) OVER wk, 4) AS avg_text_len_last_k,
+                     coalesce(lead(is_tool) OVER
+                              (PARTITION BY conv_id ORDER BY ts, turn_idx),
+                              0.0) AS label_next_is_tool
+              FROM s
+              WINDOW wr AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wk AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            )
+            SELECT conv_id, turn_idx, text, session_id, time_since_prev,
+                   lag1_text_len,
+                   (row_number() OVER ws - 1)::DOUBLE AS session_turn_idx,
+                   (es - min(es) OVER wsr)::DOUBLE AS session_elapsed,
+                   cum_tool_calls, tool_calls_last_k, avg_text_len_last_k,
+                   label_next_is_tool
+            FROM s2
+            WINDOW ws AS (PARTITION BY conv_id, session_id
+                          ORDER BY ts, turn_idx),
+                   wsr AS (PARTITION BY conv_id, session_id
+                           ORDER BY ts, turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "transcripts_conversation_agg": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            g AS (
+              SELECT *,
+                     floor(epoch(ts))::BIGINT AS es,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            s AS (
+              SELECT *,
+                     (sum(new_s) OVER (PARTITION BY conv_id
+                                       ORDER BY ts, turn_idx
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                      - 1)::BIGINT AS session_id
+              FROM g
+            )
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tool_calls,
+                   count(DISTINCT tool)::BIGINT AS n_distinct_tools,
+                   (max(session_id) + 1)::BIGINT AS n_sessions,
+                   (max(es) - min(es))::BIGINT AS duration_sec,
+                   round(avg(length(text)), 4) AS avg_text_len
+            FROM s GROUP BY conv_id
+        """,
+        "transcripts_asof_backfill": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL})
+            SELECT q.conv_id, q.turn_idx, s.tool AS last_tool
+            FROM (SELECT conv_id, ts, turn_idx FROM t) q
+            ASOF LEFT JOIN
+                 (SELECT conv_id, ts, tool FROM t WHERE tool IS NOT NULL) s
+            ON q.conv_id = s.conv_id AND q.ts >= s.ts
+        """,
+        "doc_quality": r"""
+            WITH q AS (
+              SELECT doc_id, text,
+                     length(text)::DOUBLE AS n_chars,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::DOUBLE AS n_tokens,
+                     (length(text)
+                      - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                         AS n_punct,
+                     (length(text)
+                      - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                         AS n_upper,
+                     len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           w -> list_contains(
+                                  ['the','a','an','and','or','of','to','in',
+                                   'is','it','for','on','with','as','at','by',
+                                   'that','this'], w)))::DOUBLE AS n_stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   n_chars::BIGINT AS n_chars,
+                   n_tokens::BIGINT AS n_tokens,
+                   round(n_chars / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                         ELSE 1.0 END), 4) AS mean_word_len,
+                   round(n_punct / (CASE WHEN n_chars > 0 THEN n_chars
+                                         ELSE 1.0 END), 4) AS punct_ratio,
+                   round(n_upper / (CASE WHEN n_chars > 0 THEN n_chars
+                                         ELSE 1.0 END), 4) AS upper_ratio,
+                   round(n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                        ELSE 1.0 END), 4) AS stopword_ratio,
+                   len(regexp_extract_all(
+                         text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]'))::BIGINT
+                       AS bpe_tokens
+            FROM q
+        """,
+        "language_id": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_split_to_array(lower(text), '\s+') AS words
+              FROM documents
+            ),
+            sc AS (
+              SELECT doc_id,
+                     len(list_filter(words, x -> list_contains(
+                           ['the','and','of','to','is'], x))) AS s_en,
+                     len(list_filter(words, x -> list_contains(
+                           ['el','la','de','que','los'], x))) AS s_es,
+                     len(list_filter(words, x -> list_contains(
+                           ['der','die','und','das','ist'], x))) AS s_de,
+                     len(list_filter(words, x -> list_contains(
+                           ['le','la','les','des','est'], x))) AS s_fr
+              FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                        WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                        WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM sc
+        """,
+        "fingerprint_distinct": r"""
+            SELECT count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       AS n_fp,
+                   count(DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                       AS n_text
+            FROM documents
+        """,
+        "ngram_jaccard": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents WHERE doc_id < 400
+              )
+              WHERE len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
+            )
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.3
+        """,
+        "media_features": """
+            SELECT media_id,
+                   round(('0x' || substr(h,  3, 2) || substr(h,  1, 2))::INT
+                         / 65535.0, 6) AS f0,
+                   round(('0x' || substr(h,  7, 2) || substr(h,  5, 2))::INT
+                         / 65535.0, 6) AS f1,
+                   round(('0x' || substr(h, 11, 2) || substr(h,  9, 2))::INT
+                         / 65535.0, 6) AS f2,
+                   round(('0x' || substr(h, 15, 2) || substr(h, 13, 2))::INT
+                         / 65535.0, 6) AS f3
+            FROM (
+              SELECT range AS media_id,
+                     sha256('media-' || range::VARCHAR) AS h
+              FROM range(0, 64)
+            )
+        """,
+        "media_frame_sample": """
+            SELECT media_id, (f * 700)::BIGINT AS frame_ts_ms
+            FROM (
+              SELECT range AS media_id,
+                     greatest(floor(((range % 7 + 1) * 1000) / 700.0)::INT, 1)
+                         AS n_frames
+              FROM range(0, 20)
+            ), unnest(generate_series(0, n_frames - 1)) AS u(f)
         """,
     }

@@ -37,10 +37,20 @@ HEADLINE = [
     "asof_join_window",
     "asof_join_bucketed",
     "multi_agg_rollup",
+    "asof_join_merge",
     "dedup_exact",
     "text_stats",
     "cosine_topk",
     "minhash_pairs",
+    "transcripts_turn_features",
+    "transcripts_conversation_agg",
+    "transcripts_asof_backfill",
+    "doc_quality",
+    "language_id",
+    "ngram_jaccard",
+    "simhash_dedup",
+    "lsh_topk",
+    "media_features",
     "screen_pipeline",
 ]
 

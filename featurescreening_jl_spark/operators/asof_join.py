@@ -161,7 +161,12 @@ def _asof_merge(
 ) -> DataFrame:
     schema = _merged_schema(queries, sources, on, value_cols)
     out_cols = [f.name for f in schema.fields]
-    src_proj = sources.select(by, F.col(on).alias(_MATCH_TS), *value_cols)
+    # the key is re-aliased on the source side: when queries and sources
+    # share lineage (self-as-of), Spark's ambiguous-self-join check trips on
+    # the duplicated key attribute otherwise
+    src_proj = sources.select(
+        F.col(by).alias("__src_by"), F.col(on).alias(_MATCH_TS), *value_cols
+    )
 
     def join_group(qpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty:
@@ -176,7 +181,7 @@ def _asof_merge(
         spdf = spdf.sort_values(_MATCH_TS, kind="mergesort")
         res = pd.merge_asof(
             qpdf,
-            spdf.drop(columns=[by], errors="ignore"),
+            spdf.drop(columns=["__src_by"], errors="ignore"),
             left_on=on,
             right_on=_MATCH_TS,
             direction="backward",
@@ -186,7 +191,7 @@ def _asof_merge(
 
     return (
         queries.groupBy(by)
-        .cogroup(src_proj.groupBy(by))
+        .cogroup(src_proj.groupBy("__src_by"))
         .applyInPandas(join_group, schema=schema)
     )
 
