@@ -112,10 +112,15 @@ def _screen_transcripts(spark: SparkSession, sf: str) -> DataFrame:
         ff,
         reduced_size=4,
         step_size=5,
-        config={"n_trees": 20, "max_depth": 8, "min_samples_leaf": 10,
+        config={"n_trees": 64, "max_depth": 8, "min_samples_leaf": 10,
                 "min_purity_increase": 0.0},
         rng=42,
         show_progress=False,
+        # map-only partition-ensemble importance — the 10^12-row scale
+        # path (near-linear scaling; MLlib backend is the
+        # semantics-faithful default elsewhere)
+        importance_backend="partitioned",
+        backend_options={"num_partitions": 16},
     )
     return result.df
 

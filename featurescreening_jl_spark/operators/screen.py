@@ -65,6 +65,8 @@ def screen(
     checkpoint: Any = None,
     resume_from: Optional[str] = None,
     cache: bool = True,
+    importance_backend: str = "spark_ml",
+    backend_options: Optional[dict[str, Any]] = None,
 ) -> FeatureFrame:
     """Screen a FeatureFrame down to its most important features.
 
@@ -93,6 +95,11 @@ def screen(
       windows, joins). Set False when the base table is too large to cache
       — column pruning then bounds each round's scan to its
       ≤ reduced_size + step_size columns instead.
+    - ``importance_backend`` — ``"spark_ml"`` (default; MLlib fit,
+      semantics-faithful) or ``"partitioned"`` (map-only partition
+      ensemble, the near-linear-scaling path for huge inputs — see
+      operators/importance_dist.py). ``backend_options`` forwards e.g.
+      ``num_partitions`` / ``trees_per_partition``.
     """
     if reduced_size is not None and selection_mode is not None:
         raise AssertionError(
@@ -164,11 +171,20 @@ def screen(
             f"screen round {i + 1}/{n_rounds}: fit forest over "
             f"{to_be_selected.n_features} features"
         )
-        importances = feature_importance(
-            to_be_selected,
-            config={**DEFAULT_SCREEN_CONFIG, **(config or {})},
-            rng=fit_seed,
-        )
+        merged_cfg = {**DEFAULT_SCREEN_CONFIG, **(config or {})}
+        if importance_backend == "partitioned":
+            from featurescreening_jl_spark.operators.importance_dist import (
+                feature_importance_partitioned,
+            )
+
+            importances = feature_importance_partitioned(
+                to_be_selected, config=merged_cfg, rng=fit_seed,
+                **(backend_options or {}),
+            )
+        else:
+            importances = feature_importance(
+                to_be_selected, config=merged_cfg, rng=fit_seed,
+            )
 
         if dump_dir is not None:
             os.makedirs(dump_dir, exist_ok=True)

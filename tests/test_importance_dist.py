@@ -1,0 +1,123 @@
+"""Partition-ensemble importance backend (operators/importance_dist.py).
+
+Contract mirror of the MLlib backend tests: output invariants, seeded
+determinism (including across parallelism levels — the property that makes
+cluster-size-independent results possible), and signal detection on a
+separable fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from collections import Counter
+
+from featurescreening_jl_spark.frame import FeatureFrame
+from featurescreening_jl_spark.operators.importance_dist import (
+    feature_importance_partitioned,
+    local_forest_split_counts,
+)
+from featurescreening_jl_spark.operators.screen import screen
+
+CFG = {"n_trees": 64, "max_depth": 8, "min_samples_leaf": 5,
+       "min_samples_split": 10, "min_purity_increase": 0.0}
+
+
+def _separable_frame(spark, n=600, noise_cols=4, seed=3):
+    """Two classes separated on feature 'sig'; the rest pure noise."""
+    rng = np.random.default_rng(seed)
+    y = np.repeat(["a", "b"], n // 2)
+    sig = np.where(y == "a", 0.0, 3.0) + rng.standard_normal(n) * 0.3
+    X = np.column_stack(
+        [sig] + [rng.standard_normal(n) for _ in range(noise_cols)]
+    )
+    names = ["sig"] + [f"noise{i}" for i in range(noise_cols)]
+    return FeatureFrame.from_arrays(spark, y, names, X)
+
+
+class TestLocalForest:
+    def test_finds_signal(self):
+        rng = np.random.default_rng(0)
+        n = 500
+        y = np.repeat([0, 1], n // 2)
+        X = np.column_stack(
+            [np.where(y == 0, 0.0, 5.0) + rng.standard_normal(n) * 0.1,
+             rng.standard_normal(n), rng.standard_normal(n)]
+        )
+        cfg = {**CFG, "partial_sampling": 0.9, "n_subfeatures": -1,
+               "_trees": 16, "_max_depth": 8, "_n_candidate_features": 2}
+        counts = local_forest_split_counts(
+            X, y, 2, cfg, np.random.default_rng(1)
+        )
+        assert isinstance(counts, Counter)
+        assert counts.most_common(1)[0][0] == 0  # signal column wins
+
+    def test_min_leaf_respected(self):
+        # all-identical rows → no valid split anywhere
+        X = np.ones((50, 3))
+        y = np.array([0, 1] * 25)
+        cfg = {**CFG, "partial_sampling": 0.9, "_trees": 8, "_max_depth": 8,
+               "_n_candidate_features": 2}
+        counts = local_forest_split_counts(
+            X, y, 2, cfg, np.random.default_rng(1)
+        )
+        assert counts == Counter()
+
+
+class TestPartitionedImportance:
+    def test_invariants(self, spark):
+        ff = _separable_frame(spark)
+        pairs = feature_importance_partitioned(
+            ff, config=CFG, rng=7, num_partitions=8
+        )
+        names = set(ff.feature_names)
+        assert all(n in names for n, _ in pairs)
+        assert all(isinstance(c, int) and c > 0 for _, c in pairs)
+        counts = [c for _, c in pairs]
+        assert counts == sorted(counts, reverse=True)
+        assert pairs[0][0] == "sig"
+
+    def test_deterministic_given_seed(self, spark):
+        ff = _separable_frame(spark)
+        a = feature_importance_partitioned(ff, config=CFG, rng=7,
+                                           num_partitions=8)
+        b = feature_importance_partitioned(ff, config=CFG, rng=7,
+                                           num_partitions=8)
+        assert a == b
+
+    def test_deterministic_across_parallelism(self, spark):
+        # fixed num_partitions ⇒ identical results whatever the core count;
+        # emulate by varying shuffle partitions of the input side
+        ff = _separable_frame(spark)
+        a = feature_importance_partitioned(ff, config=CFG, rng=7,
+                                           num_partitions=8)
+        ff2 = FeatureFrame(
+            ff.df.repartition(3), ff.feature_names
+        )
+        b = feature_importance_partitioned(ff2, config=CFG, rng=7,
+                                           num_partitions=8)
+        assert a == b
+
+    def test_screen_with_partitioned_backend(self, spark):
+        ff = _separable_frame(spark, noise_cols=7)
+        result = screen(
+            ff, reduced_size=2, step_size=3, config=CFG, rng=42,
+            show_progress=False, importance_backend="partitioned",
+            backend_options={"num_partitions": 8},
+        )
+        assert result.n_features == 2
+        assert "sig" in result.feature_names
+        assert result.count() == 600
+
+
+class TestBackendAgreement:
+    def test_top_feature_agrees_with_mllib(self, spark):
+        ff = _separable_frame(spark)
+        dist = feature_importance_partitioned(ff, config=CFG, rng=5,
+                                              num_partitions=8)
+        from featurescreening_jl_spark.operators.importance import (
+            feature_importance,
+        )
+
+        ml = feature_importance(ff, config=CFG, rng=5)
+        assert dist[0][0] == ml[0][0] == "sig"
