@@ -181,6 +181,7 @@ def feature_importance_partitioned(
     *,
     num_partitions: int = 64,
     trees_per_partition: Optional[int] = None,
+    pre_partitioned: bool = False,
 ) -> list[tuple[str, int]]:
     """Ranked ``(feature_name, split_count)`` via the partition ensemble.
 
@@ -188,6 +189,12 @@ def feature_importance_partitioned(
     ``num_partitions`` (≥1 tree each) unless ``trees_per_partition`` is
     given. Ranking contract matches the MLlib backend: count desc,
     original column position asc; never-split features absent.
+
+    ``pre_partitioned=True`` asserts the caller already shaped ``ff.df``
+    as ``repartition(num_partitions, id).sortWithinPartitions(id)`` (the
+    screening loop does this once when caching the base frame) — the
+    per-round training stage is then MAP-ONLY: a narrow projection of the
+    cached partitions straight into ``mapInPandas``, zero shuffles.
     """
     from pyspark.sql import functions as F
 
@@ -207,15 +214,15 @@ def feature_importance_partitioned(
     # hash-repartition on the id fixes WHICH rows land in each partition;
     # sortWithinPartitions fixes their ORDER (bootstrap draws index rows by
     # position) — together: identical results at any core count
-    proj = (
-        ff.df.select(
-            F.col(ff.id_col),
-            mapping[F.col(ff.label_col)].alias("__y"),
-            *[F.col(c).cast("double") for c in names],
-        )
-        .repartition(num_partitions, ff.id_col)
-        .sortWithinPartitions(ff.id_col)
+    proj = ff.df.select(
+        F.col(ff.id_col),
+        mapping[F.col(ff.label_col)].alias("__y"),
+        *[F.col(c).cast("double") for c in names],
     )
+    if not pre_partitioned:
+        proj = proj.repartition(num_partitions, ff.id_col).sortWithinPartitions(
+            ff.id_col
+        )
 
     def train(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext

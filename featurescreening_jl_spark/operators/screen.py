@@ -147,7 +147,24 @@ def screen(
             log.info("resuming at round %d with %d survivors",
                      start_round, len(selected_names))
 
+    backend_opts = dict(backend_options or {})
     if cache:
+        if importance_backend == "partitioned":
+            # shape the cached frame ONCE as the ensemble wants it
+            # (hash-partitioned + sorted on the id) so every round's
+            # training stage is map-only over the cache — no per-round
+            # shuffle, no per-round sort
+            n_ens = backend_opts.get("num_partitions", 64)
+            ff = FeatureFrame(
+                ff.df.repartition(n_ens, ff.id_col).sortWithinPartitions(
+                    ff.id_col
+                ),
+                ff.feature_names,
+                label_col=ff.label_col,
+                id_col=ff.id_col,
+            )
+            backend_opts.setdefault("num_partitions", n_ens)
+            backend_opts["pre_partitioned"] = True
         ff.df.persist()
 
     n_rounds = len(parts)
@@ -179,7 +196,7 @@ def screen(
 
             importances = feature_importance_partitioned(
                 to_be_selected, config=merged_cfg, rng=fit_seed,
-                **(backend_options or {}),
+                **backend_opts,
             )
         else:
             importances = feature_importance(

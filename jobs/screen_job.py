@@ -44,6 +44,13 @@ def parse_args(argv):
     p.add_argument("--min-samples-leaf", type=int, default=10)
     p.add_argument("--min-samples-split", type=int, default=10)
     p.add_argument("--min-purity-increase", type=float, default=0.0)
+    # importance backend: spark_ml = semantics-faithful MLlib fit;
+    # partitioned = map-only partition-ensemble (the 10^12-row scale path)
+    p.add_argument("--importance-backend", default="spark_ml",
+                   choices=["spark_ml", "partitioned"])
+    p.add_argument("--ensemble-partitions", type=int, default=256,
+                   help="fixed partition count for --importance-backend "
+                        "partitioned (determinism + balance knob)")
     # ops
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true",
@@ -110,6 +117,11 @@ def main(argv=None) -> None:
         checkpoint=ckpt,
         resume_from=(args.checkpoint_dir if args.resume else None),
         show_progress=bool(args.verbosity),
+        importance_backend=args.importance_backend,
+        backend_options=(
+            {"num_partitions": args.ensemble_partitions}
+            if args.importance_backend == "partitioned" else None
+        ),
     )
     result.save(args.output)
     logging.info("screened %d features -> %s", result.n_features, args.output)

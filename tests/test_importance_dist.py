@@ -110,6 +110,30 @@ class TestPartitionedImportance:
         assert result.count() == 600
 
 
+class TestPlanShape:
+    def test_pre_partitioned_training_is_map_only(self, spark):
+        """With pre_partitioned=True the projection feeding mapInPandas must
+        add NO exchange: shuffle count of the plan equals the shuffle count
+        of the pre-shaped input (one, from the explicit repartition)."""
+        from pyspark.sql import functions as F
+
+        ff = _separable_frame(spark)
+        shaped = FeatureFrame(
+            ff.df.repartition(8, "sample_id").sortWithinPartitions("sample_id"),
+            ff.feature_names,
+        )
+        labels = shaped.distinct_labels()
+        mapping = F.create_map(
+            *[x for i, lbl in enumerate(labels) for x in (F.lit(lbl), F.lit(i))]
+        )
+        proj = shaped.df.select(
+            mapping[F.col("label")].alias("__y"),
+            *[F.col(c).cast("double") for c in shaped.feature_names],
+        )
+        plan = proj._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1  # only the explicit repartition
+
+
 class TestBackendAgreement:
     def test_top_feature_agrees_with_mllib(self, spark):
         ff = _separable_frame(spark)
