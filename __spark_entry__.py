@@ -480,7 +480,9 @@ def q_lsh_topk(spark, sf):
     queries_df = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = lsh_topk(emb, queries_df, k=5, n_planes=8, n_tables=4, seed=42)
+    # dim passed explicitly: avoids a blocking first() just to size the
+    # hyperplanes (the testdata embeddings are 64-d at every sf)
+    out = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=8, n_tables=4, seed=42)
     return out.select(
         "query_id", "vec_id", F.round("similarity", 4).alias("similarity"),
         F.col("rank").cast("long").alias("rank"),
