@@ -63,9 +63,12 @@ def _transcripts(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tools = F.array(*[F.lit(t) for t in ("search", "bash", "sql", "browser")])
     m3 = F.col("event_id") % 3
+    # turn_idx is computed over the POST-join relation, mirroring the oracle
+    # SQL exactly — computing it pre-join would silently desync whenever a
+    # doc_id in 0..499 had no documents row (round-1 advisor finding)
     return (
-        ev.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
-        .join(F.broadcast(docs), F.col("event_id") % 500 == F.col("doc_id"))
+        ev.join(F.broadcast(docs), F.col("event_id") % 500 == F.col("doc_id"))
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
         .select(
             F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias(
                 "conv_id"
@@ -94,14 +97,20 @@ def _screen_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     leakage-free featurization of the transcripts table, then the
     random-forest tournament screening loop."""
     from featurescreening_jl_spark import FeatureFrame, screen
+    from featurescreening_jl_spark.operators.dedup import hash60_portable
     from featurescreening_jl_spark.operators.window_features import (
         TURN_FEATURE_COLS,
         turn_features,
     )
 
     t = _transcripts(spark, sf)
+    # sample_id is the PORTABLE 60-bit md5 hash (not xxhash64) so the
+    # DuckDB oracle can reconstruct the identical ids — this is what makes
+    # the flagship screening pipeline oracle-checkable end to end
     feats = turn_features(t).select(
-        F.xxhash64("conv_id", "turn_idx").alias("sample_id"),
+        hash60_portable(
+            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+        ).alias("sample_id"),
         F.when(F.col("label_next_is_tool") > 0, "tool")
         .otherwise("no_tool")
         .alias("label"),
@@ -175,19 +184,17 @@ def q_topk(spark, sf):
 
 
 def q_select_top_fraction(spark, sf):
-    # SelectTop(0.25) data-side: floor(n * ratio) prefix of the ranked list
+    # SelectTop(0.25) data-side: floor(n * ratio) prefix of the ranked list.
+    # k comes from a scalar count() first, then orderBy+limit — Spark plans
+    # TakeOrderedAndProject (per-partition top-k, tiny driver merge). The
+    # round-1 version used an un-partitioned window + count() OVER (), which
+    # Spark executes on a SINGLE partition — a scale-killer at 100×.
     sup = _t(spark, sf, "supplier")
-    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
-    n = Window.partitionBy()
+    k = int(sup.count() * 0.25)
     return (
-        sup.select(
-            "s_suppkey",
-            "s_acctbal",
-            F.row_number().over(w).alias("__rn"),
-            F.count("*").over(n).alias("__n"),
-        )
-        .where(F.col("__rn") <= F.floor(F.col("__n") * 0.25))
-        .select("s_suppkey", "s_acctbal")
+        sup.select("s_suppkey", "s_acctbal")
+        .orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+        .limit(k)
     )
 
 
@@ -313,19 +320,32 @@ def q_cosine_topk(spark, sf):
 
 
 def q_minhash_pairs(spark, sf):
-    # hash-seeded → not SQL-oracle-expressible; driver records rows-only
+    # Oracle-checked END-TO-END: the oracle computes exact all-pairs
+    # word-3-gram Jaccard ≥ 0.8 over the same slice, so the check verifies
+    # both that LSH banding (64 hashes × 16 bands) drops NO true pair at
+    # this threshold (collision prob ≥ 0.9998 at j = 0.8) and that the
+    # exact-Jaccard verify step admits no sub-threshold pair.
     from featurescreening_jl_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = _t(spark, sf, "documents").limit(300)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 300)
     return minhash_lsh_pairs(docs, jaccard_threshold=0.8).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
 
 def q_screen_pipeline(spark, sf):
-    # RF tournament over transcript turn features — not SQL-expressible;
-    # rows-only check
-    return _screen_transcripts(spark, sf)
+    # Flagship RF-tournament screen. The forest fit itself is not
+    # SQL-expressible, but the WHOLE run is deterministic (seeded RNG,
+    # fixed partition-ensemble layout), so the oracle recomputes the
+    # featurization in SQL and projects the exact feature set the screen
+    # selects — a regression in featurization values OR in the selection
+    # outcome both surface as a hash/schema mismatch.
+    res = _screen_transcripts(spark, sf)
+    feat_cols = [c for c in res.columns if c not in ("sample_id", "label")]
+    return res.select(
+        "sample_id", "label",
+        *[F.round(F.col(c), 4).alias(c) for c in feat_cols],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -464,25 +484,51 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_simhash_dedup(spark, sf):
-    # xxhash64-seeded → rows-only check
+    # portable (md5-based) shingle hashing → the DuckDB oracle recomputes
+    # the exact 32-bit simhash per doc and the same min-id-per-hash dedup.
+    # The simhash VALUE is part of the output so the check verifies all 32
+    # bits per doc, not just row membership (which would be vacuous when no
+    # two docs collide).
     from featurescreening_jl_spark.operators.dedup import simhash_dedup
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
-    return simhash_dedup(docs, num_bits=32).select("doc_id", "n_chars")
+    return simhash_dedup(
+        docs, num_bits=32, portable=True, keep_hash="simhash32"
+    ).select("doc_id", "n_chars", "simhash32")
 
 
 def q_lsh_topk(spark, sf):
-    # numpy-seeded hyperplanes → rows-only check (recall vs brute force is
-    # asserted in tests/test_pipeline_ops.py)
+    # Oracle = brute-force exact top-5 per query. The testdata corpus has
+    # no angularly-close neighbors (max off-diagonal cosine 0.48), which no
+    # sign-LSH can retrieve reliably — and an ANN operator is only MEANT to
+    # find close neighbors. So each query's true neighborhood is
+    # synthesized in-query: 4 constant-shifted copies per query vector
+    # (cosine ≈ 0.9957..0.9997, strictly ordered) plus the query itself.
+    # The true top-5 is then angularly tight (LSH collision certain at
+    # these params — verified deterministic) and hugely separated from the
+    # rest of the corpus, so ANN output must EQUAL the exact result; any
+    # recall regression fails the driver check. Probabilistic recall on
+    # non-synthetic data is asserted in tests/test_pipeline_ops.py.
     from featurescreening_jl_spark.operators.similarity import lsh_topk
 
-    emb = _t(spark, sf, "embeddings")
-    queries_df = emb.where(F.col("vec_id") < 4).select(
-        F.col("vec_id").alias("query_id"), "embedding"
+    # cast + SQL-parsed transforms (see q_cosine_neardup for why not
+    # Column-API lambdas in a multi-branch union)
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # dim passed explicitly: avoids a blocking first() just to size the
-    # hyperplanes (the testdata embeddings are 64-d at every sf)
-    out = lsh_topk(emb, queries_df, k=5, dim=64, n_planes=8, n_tables=4, seed=42)
+    base4 = emb.where(F.col("vec_id") < 4)
+    copies = None
+    for j, c in enumerate((0.003, 0.006, 0.009, 0.012)):
+        cp = base4.select(
+            (F.col("vec_id") + 1000 * (j + 1)).alias("vec_id"),
+            F.expr(f"transform(embedding, x -> x + {c}D)").alias("embedding"),
+        )
+        copies = cp if copies is None else copies.unionByName(cp)
+    corpus = emb.unionByName(copies)
+    queries_df = base4.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_topk(
+        corpus, queries_df, k=5, dim=64, n_planes=8, n_tables=8, seed=42
+    )
     return out.select(
         "query_id", "vec_id", F.round("similarity", 4).alias("similarity"),
         F.col("rank").cast("long").alias("rank"),
@@ -490,11 +536,35 @@ def q_lsh_topk(spark, sf):
 
 
 def q_cosine_neardup(spark, sf):
-    # LSH-bucketed embedding near-duplicate pairs → rows-only check
+    # The round-1 version returned 0 rows on this corpus (max off-diagonal
+    # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
+    # SYNTHESIZED in-query: each base vector gets a scaled copy (cosine
+    # exactly 1, same sign-sketch → guaranteed LSH collision) and a
+    # constant-shifted copy (cosine ≈ 0.997, direction actually perturbed),
+    # and the oracle brute-forces the exact expected pairs over the union.
     from featurescreening_jl_spark.operators.similarity import cosine_neardup_pairs
 
-    emb = _t(spark, sf, "embeddings")
-    out = cosine_neardup_pairs(emb, threshold=0.9, n_planes=8, n_tables=4)
+    # NB: SQL-parsed transforms (F.expr), not Column-API lambdas — chained
+    # lambda transforms across union branches hit a lambda-variable
+    # misbinding in analysis (observed: the jitter silently dropped on some
+    # branches); parsed lambdas get fresh variables per branch.
+    base = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 20)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 1.5D)").alias("embedding"),
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.01D)").alias("embedding"),
+    )
+    corpus = base.unionByName(scaled).unionByName(shifted)
+    out = cosine_neardup_pairs(
+        corpus, threshold=0.9, dim=64, n_planes=8, n_tables=6
+    )
     return out.select(
         "id_a", "id_b", F.round("similarity", 4).alias("similarity")
     )
@@ -545,6 +615,44 @@ def q_media_frame_sample(spark, sf):
     return sample_frames(_media(spark, 20), every_ms=700).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+def _simhash_oracle(num_bits: int = 32, pred: str = "doc_id < 400") -> str:
+    """Generate the DuckDB SQL reproducing ``simhash_dedup(portable=True)``
+    bit for bit: word-3-gram shingles → portable 60-bit md5 hash per
+    shingle → per-bit majority vote → min-doc_id per identical simhash."""
+    masks = [1 << i for i in range(num_bits)]
+    votes = ",\n".join(
+        f"list_sum(list_transform(hs, h -> CASE WHEN (h & {m}) <> 0 "
+        f"THEN 1 ELSE -1 END)) AS v{i}"
+        for i, m in enumerate(masks)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {m} ELSE 0 END)" for i, m in enumerate(masks)
+    )
+    return rf"""
+        WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE {pred}),
+        t AS (
+          SELECT doc_id, n_chars,
+                 list_transform(
+                   list_distinct(list_transform(
+                     range(0, greatest(len(toks) - 3, 0) + 1),
+                     i -> array_to_string(toks[i+1:i+3], ' '))),
+                   s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+          FROM (
+            SELECT doc_id, n_chars,
+                   string_split_regex(
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                     ' ') AS toks
+            FROM d
+          )
+        ),
+        v AS (SELECT doc_id, n_chars, {votes} FROM t),
+        s AS (SELECT doc_id, n_chars, {sim} AS sim FROM v),
+        k AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY sim)
+        SELECT s.doc_id, s.n_chars, s.sim AS simhash32
+        FROM s JOIN k USING (doc_id)
+    """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -890,6 +998,110 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.3
+        """,
+        # The flagship screen is deterministic end to end (seeded RNG,
+        # fixed partition-ensemble layout, verified identical at local[8]
+        # and local[32]), so the oracle recomputes the featurization in SQL
+        # and projects the EXACT feature set the tournament selects at
+        # sf0.01 / seed 42: {lag2_text_len, text_len, time_since_prev,
+        # lag1_text_len}. A regression in featurization values fails the
+        # value-hash; a regression in the selection outcome fails the
+        # schema compare.
+        "screen_pipeline": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            f AS (
+              SELECT conv_id, turn_idx,
+                     ('0x' || substr(md5(conv_id || ':' || turn_idx::VARCHAR),
+                                     1, 15))::BIGINT AS sample_id,
+                     length(text)::DOUBLE AS text_len,
+                     coalesce((floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT)::DOUBLE,
+                              0) AS time_since_prev,
+                     coalesce(lag(length(text), 1) OVER w, 0)::DOUBLE
+                         AS lag1_text_len,
+                     coalesce(lag(length(text), 2) OVER w, 0)::DOUBLE
+                         AS lag2_text_len,
+                     coalesce(lead(CASE WHEN tool IS NOT NULL
+                                        THEN 1.0 ELSE 0.0 END) OVER w,
+                              0.0) AS lab
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            )
+            SELECT sample_id,
+                   CASE WHEN lab > 0 THEN 'tool' ELSE 'no_tool' END AS label,
+                   round(lag2_text_len, 4) AS lag2_text_len,
+                   round(text_len, 4) AS text_len,
+                   round(time_since_prev, 4) AS time_since_prev,
+                   round(lag1_text_len, 4) AS lag1_text_len
+            FROM f
+        """,
+        # Exact all-pairs word-3-gram Jaccard over the same slice: verifies
+        # that LSH banding drops NO true >= 0.8 pair and the exact-verify
+        # step admits no sub-threshold pair.
+        "minhash_pairs": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents WHERE doc_id < 300
+              )
+              WHERE len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
+            )
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.8
+        """,
+        "simhash_dedup": _simhash_oracle(num_bits=32, pred="doc_id < 400"),
+        "lsh_topk": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings),
+            b4 AS (SELECT vec_id, e FROM emb WHERE vec_id < 4),
+            u AS (
+              SELECT vec_id, e FROM emb
+              UNION ALL SELECT vec_id + 1000,
+                               list_transform(e, x -> x + 0.003) FROM b4
+              UNION ALL SELECT vec_id + 2000,
+                               list_transform(e, x -> x + 0.006) FROM b4
+              UNION ALL SELECT vec_id + 3000,
+                               list_transform(e, x -> x + 0.009) FROM b4
+              UNION ALL SELECT vec_id + 4000,
+                               list_transform(e, x -> x + 0.012) FROM b4
+            )
+            SELECT query_id, vec_id, similarity, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(list_cosine_similarity(c.e, q.e), 4) AS similarity,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.e, q.e) DESC,
+                                c.vec_id ASC) AS rank
+              FROM u c, b4 q
+            ) WHERE rank <= 5
+        """,
+        "cosine_neardup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                          FROM embeddings WHERE vec_id < 20),
+            u AS (
+              SELECT vec_id, e FROM base
+              UNION ALL SELECT vec_id + 10000,
+                               list_transform(e, x -> x * 1.5) FROM base
+              UNION ALL SELECT vec_id + 20000,
+                               list_transform(e, x -> x + 0.01) FROM base
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 4) AS similarity
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.9
         """,
         "media_features": """
             SELECT media_id,

@@ -53,6 +53,11 @@ class FeatureFrame:
         self.label_col = label_col
         self.id_col = id_col
         self._labels_cache: Optional[list[str]] = None
+        # the widest DataFrame this frame is a projection of; lets merge()
+        # recognize two DISJOINT projections of one (cached, possibly
+        # pre-partitioned) base and re-project from it instead of joining —
+        # keeps every screening round map-only over the cached partitions
+        self._base: DataFrame = df
 
     def distinct_labels(self) -> list[str]:
         """Sorted distinct label values (cached — label cardinality is the
@@ -67,6 +72,7 @@ class FeatureFrame:
     def _child(self, df: DataFrame, names: list[str]) -> "FeatureFrame":
         child = FeatureFrame(df, names, label_col=self.label_col, id_col=self.id_col)
         child._labels_cache = self._labels_cache
+        child._base = self._base
         return child
 
     # -- constructors --------------------------------------------------------
@@ -183,6 +189,16 @@ class FeatureFrame:
             # projections of a shared base: just widen the select
             cols = [self.id_col, self.label_col, *merged_names]
             return self._child(self.df.select(*[F.col(c) for c in cols]), merged_names)
+        if self._base is other._base and all(
+            c in self._base.columns for c in merged_names
+        ):
+            # disjoint projections of ONE base (the screening loop's
+            # selected ⊕ new-slice every round): re-project from the base —
+            # no join, and the base's caching/partitioning is preserved
+            cols = [self.id_col, self.label_col, *merged_names]
+            return self._child(
+                self._base.select(*[F.col(c) for c in cols]), merged_names
+            )
         right = other.df.select(
             F.col(other.id_col).alias(self.id_col), *other.feature_names
         )

@@ -16,19 +16,27 @@ by data shape (SURVEY.md §2.3, §7.1 M5):
                 partition so even mega-keys don't blow memory. The
                 reference implementation the others are tested against.
 
-``merge_asof``— ``cogroup(by).applyInPandas`` running ``pandas.merge_asof``
-                per key. Arrow-batched, O(n) per sorted group; best when
-                keys are plentiful and none is huge.
+``merge_asof``— cogroup + ``applyInPandas`` running ``pandas.merge_asof``.
+                The cogroup key is ``hash(by) % num_groups`` — a FIXED
+                group count — not the raw key: one pandas invocation
+                handles many keys vectorized (``merge_asof(by=key)``),
+                so per-group Python overhead is amortized and group count
+                doesn't explode with key cardinality. Arrow-batched, O(n)
+                per sorted group. A single mega-key still lands whole in
+                one group — that's what ``bucketed`` is for.
 
-``bucketed``  — the 10^12-row scale path, skew-proof: salt each key's
-                timeline into fixed-width time buckets; phase 1 as-of joins
-                WITHIN each (key, bucket) salt group (bounded group size no
-                matter how hot the key); phase 2 computes each bucket's
-                carry-in — the last source value from any strictly earlier
-                bucket — via a per-key window over the (tiny) bucket-level
-                rollup, then patches phase-1 misses. This is the
-                "applyInPandas over conv_id-salted partitions + residual
-                merge" design from BASELINE.json north_star.
+``bucketed``  — the 10^12-row scale path, skew-proof: phase 1 as-of joins
+                WITHIN each (key-salt, time-bucket) cogroup — group size
+                is bounded by rows-per-bucket ÷ salt_buckets no matter how
+                hot any key OR how big the corpus (grouping on the time
+                bucket ALONE, as round 1 did, makes group size grow
+                linearly with corpus size — executor OOM at 10^12 rows);
+                phase 2 computes each bucket's carry-in — the last source
+                value from any strictly earlier bucket — via a per-key
+                window over the (tiny) bucket-level rollup, then patches
+                phase-1 misses. This is the "applyInPandas over
+                conv_id-salted partitions + residual merge" design from
+                BASELINE.json north_star.
 """
 
 from __future__ import annotations
@@ -58,6 +66,8 @@ def asof_join(
     allow_exact_matches: bool = True,
     tolerance_seconds: Optional[int] = None,
     bucket_seconds: int = 3600,
+    salt_buckets: int = 32,
+    num_groups: Optional[int] = None,
     keep_match_ts: bool = False,
 ) -> DataFrame:
     """As-of join ``sources``' latest values onto each ``queries`` row.
@@ -66,6 +76,10 @@ def asof_join(
     source precedes the cutoff, or the match is older than
     ``tolerance_seconds``). Output column sets must be disjoint:
     ``value_cols`` may not collide with query columns.
+
+    ``num_groups`` (merge_asof) / ``salt_buckets`` (bucketed) control how
+    many cogroups the key space is hashed into — size to the cluster
+    (≈ 2-3× total cores) so pandas groups stay executor-memory-sized.
     """
     if value_cols is None:
         value_cols = [c for c in sources.columns if c not in (on, by)]
@@ -75,10 +89,13 @@ def asof_join(
     if strategy == "window":
         out = _asof_window(queries, sources, on, by, value_cols, allow_exact_matches)
     elif strategy == "merge_asof":
-        out = _asof_merge(queries, sources, on, by, value_cols, allow_exact_matches)
+        out = _asof_merge(
+            queries, sources, on, by, value_cols, allow_exact_matches, num_groups
+        )
     elif strategy == "bucketed":
         out = _asof_bucketed(
-            queries, sources, on, by, value_cols, allow_exact_matches, bucket_seconds
+            queries, sources, on, by, value_cols, allow_exact_matches,
+            bucket_seconds, salt_buckets,
         )
     else:
         raise ValueError(f"unknown strategy: {strategy!r}")
@@ -158,15 +175,33 @@ def _asof_merge(
     by: str,
     value_cols: list[str],
     allow_exact: bool,
+    num_groups: Optional[int] = None,
 ) -> DataFrame:
-    schema = _merged_schema(queries, sources, on, value_cols)
-    out_cols = [f.name for f in schema.fields]
+    """Cogroup on ``hash(by) % num_groups`` — NOT on the raw key. Round 1
+    cogrouped per key: group count scaled with key cardinality and per-group
+    pandas overhead dominated (6.7s vs 0.7s for the window strategy at
+    sf0.1). A fixed group count amortizes that overhead — each pandas call
+    handles many keys at once via ``merge_asof(by=key)`` — and the shuffle
+    volume is identical (same rows, fewer heavier groups)."""
+    if num_groups is None:
+        num_groups = int(
+            queries.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    salt = F.pmod(F.xxhash64(F.col(by)), F.lit(num_groups)).cast("int")
+    q_s = queries.withColumn("__salt", salt)
     # the key is re-aliased on the source side: when queries and sources
     # share lineage (self-as-of), Spark's ambiguous-self-join check trips on
     # the duplicated key attribute otherwise
     src_proj = sources.select(
-        F.col(by).alias("__src_by"), F.col(on).alias(_MATCH_TS), *value_cols
+        F.col(by).alias("__src_by"),
+        F.pmod(F.xxhash64(F.col(by)), F.lit(num_groups)).cast("int").alias(
+            "__salt"
+        ),
+        F.col(on).alias(_MATCH_TS),
+        *value_cols,
     )
+    schema = _merged_schema(queries, sources, on, value_cols)
+    out_cols = [f.name for f in schema.fields]
 
     def join_group(qpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty:
@@ -178,20 +213,22 @@ def _asof_merge(
             for v in value_cols:
                 res[v] = None
             return res[out_cols]
+        spdf = spdf.rename(columns={"__src_by": by})
         spdf = spdf.sort_values(_MATCH_TS, kind="mergesort")
         res = pd.merge_asof(
             qpdf,
-            spdf.drop(columns=["__src_by"], errors="ignore"),
+            spdf.drop(columns=["__salt"]),
             left_on=on,
             right_on=_MATCH_TS,
+            by=by,
             direction="backward",
             allow_exact_matches=allow_exact,
         )
         return res[out_cols]
 
     return (
-        queries.groupBy(by)
-        .cogroup(src_proj.groupBy("__src_by"))
+        q_s.groupBy("__salt")
+        .cogroup(src_proj.groupBy("__salt"))
         .applyInPandas(join_group, schema=schema)
     )
 
@@ -204,24 +241,29 @@ def _asof_bucketed(
     value_cols: list[str],
     allow_exact: bool,
     bucket_seconds: int,
+    salt_buckets: int = 32,
 ) -> DataFrame:
     bucket = (epoch_seconds(F.col(on)) / bucket_seconds).cast("long")
-    q_b = queries.withColumn("__bkt", bucket)
-    s_b = sources.withColumn("__bkt", bucket)
+    salt = F.pmod(F.xxhash64(F.col(by)), F.lit(salt_buckets)).cast("int")
+    q_b = queries.withColumn("__bkt", bucket).withColumn("__salt", salt)
+    s_b = sources.withColumn("__bkt", bucket).withColumn("__salt", salt)
 
-    # ---- phase 1: as-of WITHIN each time bucket ---------------------------
-    # The cogroup key is the bucket ALONE: one pandas group per bucket, all
-    # join keys inside handled vectorized by merge_asof(by=key). Group count
-    # is #buckets and group size is rows/bucket — balanced no matter how
-    # skewed the keys — whereas grouping on (key, bucket) would explode into
-    # keys × buckets tiny groups and drown in per-group overhead.
+    # ---- phase 1: as-of WITHIN each (key-salt, time bucket) ---------------
+    # The cogroup key is (hash(by) % salt_buckets, bucket): group size is
+    # bounded by rows-per-bucket ÷ salt_buckets REGARDLESS of total corpus
+    # size — round 1 grouped on the bucket alone, whose group size grows
+    # linearly with the corpus (one giant pandas group per hour at 10^12
+    # rows → executor OOM). All of a key's rows share a salt, so per-key
+    # as-of semantics are untouched; keys inside a group are handled
+    # vectorized by merge_asof(by=key), keeping per-group overhead
+    # amortized. salt_buckets sizes groups to the cluster, not the data.
     schema = _merged_schema(q_b, s_b, on, value_cols)
     out_cols = [f.name for f in schema.fields]
     # the key is re-aliased on the source side: when queries and sources
     # share lineage (self-as-of), the cogroup planner deduplicates right
     # attributes that alias left ones and would drop the key column
     src_proj = s_b.select(
-        F.col(by).alias("__src_by"), "__bkt",
+        F.col(by).alias("__src_by"), "__bkt", "__salt",
         F.col(on).alias(_MATCH_TS), *value_cols,
     )
 
@@ -239,7 +281,7 @@ def _asof_bucketed(
         spdf = spdf.sort_values(_MATCH_TS, kind="mergesort")
         res = pd.merge_asof(
             qpdf,
-            spdf.drop(columns=["__bkt"]),
+            spdf.drop(columns=["__bkt", "__salt"]),
             left_on=on,
             right_on=_MATCH_TS,
             by=by,
@@ -249,8 +291,8 @@ def _asof_bucketed(
         return res[out_cols]
 
     phase1 = (
-        q_b.groupBy("__bkt")
-        .cogroup(src_proj.groupBy("__bkt"))
+        q_b.groupBy("__salt", "__bkt")
+        .cogroup(src_proj.groupBy("__salt", "__bkt"))
         .applyInPandas(join_bucket, schema=schema)
     )
 
@@ -299,7 +341,11 @@ def _asof_bucketed(
 
     patched = phase1.join(carry, on=[by, "__bkt"], how="left")
     matched = F.col(_MATCH_TS).isNotNull()
-    cols = [F.col(c) for c in phase1.columns if c not in (_MATCH_TS, *value_cols, "__bkt")]
+    cols = [
+        F.col(c)
+        for c in phase1.columns
+        if c not in (_MATCH_TS, *value_cols, "__bkt", "__salt")
+    ]
     cols.append(
         F.when(matched, F.col(_MATCH_TS)).otherwise(F.col("__carry.__t")).alias(_MATCH_TS)
     )

@@ -38,6 +38,15 @@ def _norm(text):
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def hash60_portable(col):
+    """Deterministic 60-bit hash reproducible OUTSIDE Spark: the first 15
+    hex digits of md5, as a positive BIGINT. Engine-portable (DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``), which is what makes
+    simhash-keyed operators oracle-checkable. Still JVM-side codegen —
+    slower than xxhash64 (default for production paths) but no Python."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def dedup_exact(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -183,7 +192,8 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def simhash(text, num_bits: int = 64, shingle_n: int = 3):
+def simhash(text, num_bits: int = 64, shingle_n: int = 3,
+            portable: bool = False):
     """64-bit SimHash: per-bit majority vote over shingle hashes.
 
     Bit i of the result = 1 iff more shingles hash to 1 than 0 at bit i.
@@ -191,9 +201,17 @@ def simhash(text, num_bits: int = 64, shingle_n: int = 3):
     array of ``num_bits`` running vote counters, merged per shingle with
     ``zip_with`` (a per-bit aggregate would re-walk the shingle array
     ``num_bits`` times — measured ~6× slower at 64 bits).
+
+    ``portable=True`` hashes shingles with :func:`hash60_portable` (md5)
+    instead of xxhash64 — byte-identical in DuckDB, enabling a true SQL
+    oracle; requires ``num_bits <= 60``.
     """
+    if portable and num_bits > 60:
+        raise ValueError("portable simhash supports at most 60 bits")
     sh = shingles(text, n=shingle_n)
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    hashes = F.transform(
+        sh, (lambda s: hash60_portable(s)) if portable else (lambda s: F.xxhash64(s))
+    )
     # literal bit-mask array (bit 63 is the sign bit of a signed long)
     mask_vals = [
         (1 << i) if i < 63 else -(1 << 63) for i in range(num_bits)
@@ -224,13 +242,22 @@ def simhash(text, num_bits: int = 64, shingle_n: int = 3):
 
 def simhash_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    num_bits: int = 32,
+    num_bits: int = 32, portable: bool = False,
+    keep_hash: str | None = None,
 ) -> DataFrame:
-    """Keep min-id per identical simhash (hamming-0 dedup; banded sub-key
-    joins generalize to hamming-k)."""
-    with_h = df.withColumn("__sim", simhash(F.col(text_col), num_bits=num_bits))
+    """Keep min-id per identical simhash (hamming-0 dedup; see
+    :func:`simhash_neardup_pairs` for hamming-k). ``keep_hash`` names an
+    output column carrying each kept row's simhash — exposing it lets an
+    external oracle verify every bit of the hash, not just row
+    membership."""
+    with_h = df.withColumn(
+        "__sim", simhash(F.col(text_col), num_bits=num_bits, portable=portable)
+    )
     keep = with_h.groupBy("__sim").agg(F.min(id_col).alias(id_col)).select(id_col)
-    return df.join(keep, on=id_col, how="inner")
+    out = with_h.join(keep, on=id_col, how="inner")
+    if keep_hash:
+        return out.withColumnRenamed("__sim", keep_hash)
+    return out.drop("__sim")
 
 
 def ngram_jaccard_pairs(

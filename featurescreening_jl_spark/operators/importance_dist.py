@@ -219,6 +219,12 @@ def feature_importance_partitioned(
         mapping[F.col(ff.label_col)].alias("__y"),
         *[F.col(c).cast("double") for c in names],
     )
+    if pre_partitioned and proj.rdd.getNumPartitions() != num_partitions:
+        # the caller's "already repartition(num_partitions, id)-shaped"
+        # claim is VERIFIED, not trusted: a planner/AQE change that altered
+        # the partitioning would silently shift every per-partition RNG
+        # stream (round-1 advisor finding). Fall back to repartitioning.
+        pre_partitioned = False
     if not pre_partitioned:
         proj = proj.repartition(num_partitions, ff.id_col).sortWithinPartitions(
             ff.id_col

@@ -105,6 +105,11 @@ def screen(
         raise AssertionError(
             "At most one of `reduced_size` and `selection_mode` must be specified!"
         )
+    if importance_backend not in ("spark_ml", "partitioned"):
+        raise ValueError(
+            f"unknown importance_backend {importance_backend!r} "
+            "(expected 'spark_ml' or 'partitioned')"
+        )
     n = ff.n_features
     if reduced_size is None:
         reduced_size = n // 5

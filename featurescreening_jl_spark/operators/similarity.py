@@ -57,6 +57,20 @@ def brute_force_topk(
     )
 
 
+def _require_dim(dim: int | None, op: str) -> int:
+    """The hyperplane sketch needs the embedding dimensionality at PLAN
+    time; inferring it with a blocking ``.first()`` during plan
+    construction was a round-1 anti-pattern (a cluster action hidden in
+    what looks like pure plan building). Callers pass it explicitly —
+    it's a property of the embedding model, not of the data."""
+    if dim is None:
+        raise ValueError(
+            f"{op}: `dim` (embedding dimensionality) must be passed "
+            "explicitly — plan construction must not run a Spark job"
+        )
+    return int(dim)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
@@ -90,8 +104,7 @@ def lsh_topk(
     the query in ANY of ``n_tables`` hash tables. At 10^9 vectors this
     turns a full scan per query into a few bucket lookups; recall is tuned
     by (n_planes, n_tables)."""
-    if dim is None:
-        dim = len(queries.select(vec_col).first()[0])
+    dim = _require_dim(dim, "lsh_topk")
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     c_keys = corpus.select(
@@ -157,8 +170,7 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), bucketed by
     sign-LSH so the self-join runs within buckets, not across the corpus."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    dim = _require_dim(dim, "cosine_neardup_pairs")
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     keyed = df.select(
         id_col,

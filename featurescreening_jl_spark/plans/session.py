@@ -16,6 +16,24 @@ from pyspark.sql import SparkSession
 DEFAULT_PARALLELISM = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_driver_mem() -> str:
+    """Conservative heap default: a quarter of physical RAM, clamped to
+    [4g, 32g]. High-parallelism benchmarks opt into a bigger heap via
+    SPARK_DRIVER_MEM (an undersized heap turns 32-thread local runs
+    GC-bound, but an OVERSIZED one on a small host gets OS-OOM-killed —
+    a worse failure mode than Spark-managed spill)."""
+    env = os.environ.get("SPARK_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        ram_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1024**3)
+    except (ValueError, OSError):
+        ram_gb = 16
+    return f"{min(max(ram_gb // 4, 4), 32)}g"
+
+
 def get_spark(
     app_name: str = "featurescreening-spark",
     parallelism: int | None = None,
@@ -43,7 +61,7 @@ def get_spark(
         # undersized heap turns high-parallelism runs GC-bound and caps
         # scaling (measured: 8g heap held 8→32 threads to 1.6×; 32g+ gives
         # ~3.5×). On a real cluster this maps to executor memory sizing.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

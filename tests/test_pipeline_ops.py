@@ -135,7 +135,7 @@ class TestSimilarity:
         )
         exact = brute_force_topk(embeddings, queries, k=5).toPandas()
         approx = lsh_topk(
-            embeddings, queries, k=5, n_planes=6, n_tables=8, seed=1
+            embeddings, queries, k=5, dim=64, n_planes=6, n_tables=8, seed=1
         ).toPandas()
         # recall@5 ≥ 0.5 with generous tables on this tiny corpus
         hits = 0
