@@ -570,6 +570,39 @@ def q_cosine_neardup(spark, sf):
     )
 
 
+def q_dedup_cc(spark, sf):
+    # transitive dedup clustering: exact n-gram-Jaccard pair graph →
+    # distributed min-label connected components. Oracle = the same pair
+    # graph clustered by a DuckDB RECURSIVE CTE (min reachable id).
+    from featurescreening_jl_spark.operators.dedup import ngram_jaccard_pairs
+    from featurescreening_jl_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_simhash_neardup(spark, sf):
+    # hamming-k simhash near-dup pairs, banded sub-keys (recall 1 by
+    # pigeonhole: k+1 bands). Near-dups synthesized in-query: each doc gets
+    # a copy with two appended tokens (simhash within a few bits); the
+    # oracle recomputes the exact portable simhash for the union and
+    # brute-forces all pairs with bit_count(xor) <= k.
+    from featurescreening_jl_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    copies = docs.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzqx plugh")).alias("text"),
+    )
+    u = docs.unionByName(copies)
+    out = simhash_neardup_pairs(u, num_bits=32, hamming_k=8, portable=True)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (payloads synthesized deterministically in-query)
 # ---------------------------------------------------------------------------
@@ -617,10 +650,13 @@ def q_media_frame_sample(spark, sf):
     )
 
 
-def _simhash_oracle(num_bits: int = 32, pred: str = "doc_id < 400") -> str:
-    """Generate the DuckDB SQL reproducing ``simhash_dedup(portable=True)``
-    bit for bit: word-3-gram shingles → portable 60-bit md5 hash per
-    shingle → per-bit majority vote → min-doc_id per identical simhash."""
+def _simhash_with(num_bits: int, src_sql: str, carry: str = "") -> str:
+    """WITH-prefix reproducing the portable simhash bit for bit in DuckDB:
+    word-3-gram shingles → portable 60-bit md5 hash per shingle → per-bit
+    majority vote. Produces CTE ``s(doc_id{, carry}, sim)``; callers append
+    further CTEs / the final SELECT. ``src_sql`` must select
+    ``doc_id{, carry}, text``."""
+    c = f"{carry}, " if carry else ""
     masks = [1 << i for i in range(num_bits)]
     votes = ",\n".join(
         f"list_sum(list_transform(hs, h -> CASE WHEN (h & {m}) <> 0 "
@@ -631,24 +667,36 @@ def _simhash_oracle(num_bits: int = 32, pred: str = "doc_id < 400") -> str:
         f"(CASE WHEN v{i} > 0 THEN {m} ELSE 0 END)" for i, m in enumerate(masks)
     )
     return rf"""
-        WITH d AS (SELECT doc_id, n_chars, text FROM documents WHERE {pred}),
+        WITH d AS ({src_sql}),
         t AS (
-          SELECT doc_id, n_chars,
+          SELECT doc_id, {c}
                  list_transform(
                    list_distinct(list_transform(
                      range(0, greatest(len(toks) - 3, 0) + 1),
                      i -> array_to_string(toks[i+1:i+3], ' '))),
                    s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
           FROM (
-            SELECT doc_id, n_chars,
+            SELECT doc_id, {c}
                    string_split_regex(
                      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
                      ' ') AS toks
             FROM d
           )
         ),
-        v AS (SELECT doc_id, n_chars, {votes} FROM t),
-        s AS (SELECT doc_id, n_chars, {sim} AS sim FROM v),
+        v AS (SELECT doc_id, {c}{votes} FROM t),
+        s AS (SELECT doc_id, {c}{sim} AS sim FROM v)
+    """
+
+
+def _simhash_oracle(num_bits: int = 32, pred: str = "doc_id < 400") -> str:
+    """``simhash_dedup(portable=True)`` oracle: min-doc_id per identical
+    simhash, hash value exposed."""
+    prefix = _simhash_with(
+        num_bits,
+        f"SELECT doc_id, n_chars, text FROM documents WHERE {pred}",
+        carry="n_chars",
+    )
+    return f"""{prefix},
         k AS (SELECT min(doc_id) AS doc_id FROM s GROUP BY sim)
         SELECT s.doc_id, s.n_chars, s.sim AS simhash32
         FROM s JOIN k USING (doc_id)
@@ -684,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_distinct": q_fingerprint_distinct,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash_dedup": q_simhash_dedup,
+        "dedup_cc": q_dedup_cc,
+        "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
@@ -1063,6 +1113,59 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE jaccard >= 0.8
         """,
         "simhash_dedup": _simhash_oracle(num_bits=32, pred="doc_id < 400"),
+        # transitive clustering of the exact-Jaccard pair graph: min
+        # reachable id per node via a recursive CTE (UNION dedups, so the
+        # fixpoint terminates)
+        "dedup_cc": r"""
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents WHERE doc_id < 400
+              )
+              WHERE len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              ) WHERE jaccard >= 0.3
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        "simhash_neardup": _simhash_with(
+            32,
+            """SELECT doc_id, text FROM documents WHERE doc_id < 100
+               UNION ALL
+               SELECT doc_id + 10000, text || ' zzqx plugh'
+               FROM documents WHERE doc_id < 100""",
+        )
+        + """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 8
+        """,
         "lsh_topk": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
                          FROM embeddings),

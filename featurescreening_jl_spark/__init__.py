@@ -18,7 +18,7 @@ from featurescreening_jl_spark.operators.importance import (
     split_counts,
 )
 from featurescreening_jl_spark.operators.asof_join import asof_join
-from featurescreening_jl_spark.operators.screen import screen
+from featurescreening_jl_spark.operators.screen import screen, screen_xy
 from featurescreening_jl_spark.operators.window_features import (
     conversation_aggregates,
     sessionize,
@@ -26,6 +26,7 @@ from featurescreening_jl_spark.operators.window_features import (
     with_lag_lead,
 )
 from featurescreening_jl_spark.sources.checkpoint import RoundCheckpoint
+from featurescreening_jl_spark.sources.hdf5 import load_hdf5, save_hdf5
 from featurescreening_jl_spark.sources.transcripts import synthetic_transcripts
 from featurescreening_jl_spark.operators.selection import (
     ComposedSelectionMode,
@@ -47,6 +48,9 @@ __version__ = "0.1.0"
 __all__ = [
     "FeatureFrame",
     "screen",
+    "screen_xy",
+    "load_hdf5",
+    "save_hdf5",
     "feature_importance",
     "feature_importance_from_model",
     "fit_forest",

@@ -24,12 +24,14 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dedup_exact",
+    "hash60_portable",
     "shingles",
     "minhash_signature",
     "minhash_lsh_pairs",
     "minhash_dedup",
     "simhash",
     "simhash_dedup",
+    "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
 ]
 
@@ -181,14 +183,30 @@ def minhash_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    transitive: bool = False,
     **kwargs,
 ) -> DataFrame:
-    """Drop near-duplicates: for every verified pair keep the smaller id.
-    (Greedy single-pass: removes the higher id of each pair — the standard
-    corpus-dedup policy; full connected-components clustering is the
-    iterative extension.)"""
+    """Drop near-duplicates found by MinHash LSH.
+
+    ``transitive=False`` (greedy): removes the higher id of each verified
+    pair. Cheap, but a chain A~B~C (with A≁C) keeps BOTH A and C.
+
+    ``transitive=True``: clusters the pair graph with
+    :func:`connected_components` and keeps exactly the min-id
+    representative of every component — the correct corpus-dedup policy.
+    """
     pairs = minhash_lsh_pairs(df, id_col, text_col, **kwargs)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        from featurescreening_jl_spark.operators.graph import (
+            connected_components,
+        )
+
+        cc = connected_components(pairs, "id_a", "id_b")
+        losers = cc.where(F.col("component") != F.col("id")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
 
@@ -258,6 +276,77 @@ def simhash_dedup(
     if keep_hash:
         return out.withColumnRenamed("__sim", keep_hash)
     return out.drop("__sim")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_bits: int = 32,
+    hamming_k: int = 3,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by simhash Hamming distance ≤ ``hamming_k``.
+
+    Banded sub-key join with GUARANTEED recall: the ``num_bits`` hash is
+    split into ``hamming_k + 1`` contiguous bands — two hashes within
+    Hamming distance k differ in at most k bands, so by pigeonhole they
+    agree EXACTLY on at least one band. Candidates = pairs sharing any
+    (band index, band value); verified by ``bit_count(xor) <= k``. One
+    shuffle of (band-key, id, simhash); never an all-pairs join.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    n_bands = hamming_k + 1
+    if n_bands > num_bits:
+        raise ValueError("hamming_k + 1 bands need at least that many bits")
+    widths = [num_bits // n_bands] * n_bands
+    for i in range(num_bits % n_bands):
+        widths[i] += 1
+    sim = df.select(
+        F.col(id_col),
+        simhash(
+            F.col(text_col), num_bits=num_bits, shingle_n=shingle_n,
+            portable=portable,
+        ).alias("__sim"),
+    )
+    bands = []
+    off = 0
+    for b, w in enumerate(widths):
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("__sim"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("val"),
+            )
+        )
+        off += w
+    keyed = sim.select(
+        id_col, "__sim", F.explode(F.array(*bands)).alias("__bb")
+    ).select(id_col, "__sim", "__bb.band", "__bb.val")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.val") == F.col("b.val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.__sim").bitwiseXOR(F.col("b.__sim"))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= hamming_k)
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 def ngram_jaccard_pairs(

@@ -38,7 +38,7 @@ from featurescreening_jl_spark.operators.selection import (
     make_rng,
 )
 
-__all__ = ["screen"]
+__all__ = ["screen", "screen_xy"]
 
 log = logging.getLogger(__name__)
 
@@ -236,3 +236,11 @@ def screen(
     if cache:
         ff.df.unpersist()
     return result
+
+
+def screen_xy(spark, X, y, **kwargs) -> FeatureFrame:
+    """``screen(X, y)`` convenience entry — the reference's varargs method
+    (/root/reference/src/FeatureScreening.jl:88-90): wraps the matrix in a
+    FeatureFrame (names default to stringified 1-based indices) and runs
+    the tournament with the same keyword arguments as :func:`screen`."""
+    return screen(FeatureFrame.from_xy(spark, X, y), **kwargs)

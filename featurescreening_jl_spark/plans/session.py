@@ -39,12 +39,17 @@ def get_spark(
     parallelism: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    iceberg_warehouse: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a local SparkSession.
 
     ``parallelism`` pins ``local[k]``; shuffle partitions default to the
     parallelism (small-cluster heuristic — on a real 1000-executor cluster
     you'd size this to total cores × 2-3 and let AQE coalesce).
+
+    ``iceberg_warehouse`` attaches an Iceberg Hadoop catalog named
+    ``graft`` when the runtime jar is available (sources/iceberg.py);
+    without a jar it logs a warning and the engine stays on parquet.
     """
     k = parallelism or DEFAULT_PARALLELISM
     builder = (
@@ -65,6 +70,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    if iceberg_warehouse:
+        from featurescreening_jl_spark.sources.iceberg import configure_iceberg
+
+        builder = configure_iceberg(builder, iceberg_warehouse)
     for key, val in (extra_conf or {}).items():
         builder = builder.config(key, val)
     return builder.getOrCreate()

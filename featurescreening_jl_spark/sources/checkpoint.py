@@ -15,10 +15,16 @@ the last completed round with the recorded survivor set; per-round seed
 streams are pre-spawned in ``screen`` so the resumed run replays identical
 randomness.
 
-Storage backend is a parquet directory tree; when an Iceberg catalog is on
-the classpath the same layout maps to table snapshots (``writeTo(...)
-.createOrReplace()`` per round) — the abstraction the sandbox's
-parquet-only runtime implements (SURVEY.md §7.3 hard part 5).
+Storage backend: a parquet directory tree by default; when the session has
+the ``graft`` Iceberg catalog configured (sources/iceberg.py — requires the
+runtime jar, absent in this sandbox), each round's survivor frame and
+importance ranking are ALSO committed as Iceberg tables
+(``ckpt_<ns>.round_NNNN_data`` / ``_importances`` via
+``writeTo(...).createOrReplace()``): one screening round = one atomic
+Iceberg snapshot, replacing the parquet path's state.json rename dance
+(SURVEY.md §7.3 hard part 5). Driver state + lineage JSON stay on the
+local tree either way — they are metadata-sized and are what ``resume``
+reads.
 """
 
 from __future__ import annotations
@@ -35,9 +41,21 @@ __all__ = ["RoundCheckpoint"]
 
 
 class RoundCheckpoint:
-    def __init__(self, root: str, spark: Optional[SparkSession] = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        spark: Optional[SparkSession] = None,
+        *,
+        iceberg_namespace: Optional[str] = None,
+    ) -> None:
         self.root = root
         self.spark = spark
+        # Iceberg table namespace for round snapshots; defaults to a name
+        # derived from the root dir. Only used when the live session has
+        # the catalog configured (iceberg_active).
+        self.iceberg_namespace = iceberg_namespace or (
+            "ckpt_" + os.path.basename(os.path.normpath(root)).replace("-", "_")
+        )
         os.makedirs(root, exist_ok=True)
         self._round_times: dict[int, float] = {}
         self._t_last = time.perf_counter()
@@ -72,6 +90,20 @@ class RoundCheckpoint:
         imp_df.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(rdir, "importances")
         )
+
+        from featurescreening_jl_spark.sources.iceberg import (
+            iceberg_active,
+            write_table,
+        )
+
+        if iceberg_active(spark):
+            # one round = one atomic Iceberg snapshot (createOrReplace)
+            ns = self.iceberg_namespace
+            cols = [selected.id_col, selected.label_col, *selected.names]
+            write_table(
+                selected.df.select(*cols), f"{ns}.round_{i:04d}_data"
+            )
+            write_table(imp_df, f"{ns}.round_{i:04d}_importances")
 
         # per-partition row counts — the lineage/metrics record
         part_counts = (
@@ -117,5 +149,10 @@ class RoundCheckpoint:
 
     def round_frame(self, spark: SparkSession, i: int):
         from featurescreening_jl_spark.frame import FeatureFrame
+        from featurescreening_jl_spark.sources.iceberg import iceberg_active
 
+        if iceberg_active(spark):
+            return FeatureFrame.load(
+                spark, f"graft.{self.iceberg_namespace}.round_{i:04d}_data"
+            )
         return FeatureFrame.load(spark, os.path.join(self._round_dir(i), "data"))

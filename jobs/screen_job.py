@@ -35,6 +35,10 @@ def parse_args(argv):
     p.add_argument("--step-size", type=int, default=2000)
     p.add_argument("--shuffle", action="store_true")
     p.add_argument("--random-seed", type=int, default=None)
+    # sanity device (reference /root/reference/screen:72-84): append N
+    # noise features named rnd_i before screening; a healthy screen drops
+    # them. Implies --shuffle, exactly like the reference.
+    p.add_argument("--random-features", type=int, default=0)
     # forest knobs (DEFAULT_SCREEN_CONFIG,
     # /root/reference/src/FeatureScreening.jl:54-61)
     p.add_argument("--n-trees", type=int, default=1000)
@@ -70,6 +74,9 @@ def main(argv=None) -> None:
     from featurescreening_jl_spark import FeatureFrame, screen
     from featurescreening_jl_spark.sources.checkpoint import RoundCheckpoint
 
+    # reuse an already-active session (tests, notebooks); only stop what
+    # this job itself created
+    pre_existing = SparkSession.getActiveSession()
     spark = SparkSession.builder.appName("screen-job").getOrCreate()
 
     if args.from_transcripts:
@@ -94,6 +101,30 @@ def main(argv=None) -> None:
     else:
         ff = FeatureFrame.load(spark, args.input, label_col=args.label_col,
                                id_col=args.id_col)
+
+    if args.random_features:
+        # deterministic per-row noise: hash(id, column index) scaled to
+        # [0, 1) — unlike F.rand(), independent of partition layout, so a
+        # resumed/re-planned job sees identical noise. Distributed column
+        # appends (no driver-side matrix, unlike the reference).
+        logging.info("Adding %d random features...", args.random_features)
+        rnd_names = [f"rnd_{i}" for i in range(1, args.random_features + 1)]
+        df = ff.df
+        for i, nm in enumerate(rnd_names):
+            df = df.withColumn(
+                nm,
+                F.pmod(
+                    F.xxhash64(F.col(ff.id_col), F.lit(i)), F.lit(1_000_000)
+                ).cast("double")
+                / 1_000_000.0,
+            )
+        ff = FeatureFrame(
+            df,
+            ff.feature_names + rnd_names,
+            label_col=ff.label_col,
+            id_col=ff.id_col,
+        )
+        args.shuffle = True  # reference: random_features != 0 forces shuffle
 
     config = {
         "n_trees": args.n_trees,
@@ -125,7 +156,15 @@ def main(argv=None) -> None:
     )
     result.save(args.output)
     logging.info("screened %d features -> %s", result.n_features, args.output)
-    spark.stop()
+    if args.random_features:
+        survived = [n for n in result.names if n.startswith("rnd_")]
+        logging.info(
+            "noise-feature sanity: %d/%d injected random features survived%s",
+            len(survived), args.random_features,
+            f" ({survived})" if survived else "",
+        )
+    if pre_existing is None:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -213,3 +213,75 @@ class TestMultimodal:
         frames = sample_frames(media.where(F.col("kind") == "video"),
                                every_ms=1000).toPandas()
         assert frames["frame_ts_ms"].tolist() == [0, 1000, 2000]
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from featurescreening_jl_spark.operators.graph import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "id_a long, id_b long",
+        )
+        cc = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                      20: 20, 21: 20, 22: 20}
+
+    def test_transitive_minhash_dedup_keeps_one_per_chain(self, spark):
+        # A~B and B~C near-dup (but A vs C just below threshold): greedy
+        # drops B and C's pair-losers only; transitive keeps exactly A.
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, base),
+            (1, base + " lambda"),            # ~ 0 (high jaccard)
+            (2, base + " lambda mu nu xi"),   # ~ 1, farther from 0
+            (3, "totally different text with none of those words at all"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = minhash_dedup(
+            df, transitive=True, jaccard_threshold=0.5, shingle_n=2,
+        ).select("doc_id").toPandas()["doc_id"].tolist()
+        assert 0 in kept and 3 in kept
+        # every doc of the 0-1-2 chain except the representative is gone
+        assert 1 not in kept and 2 not in kept
+
+
+class TestSimhashNeardup:
+    def test_banded_recall_guarantee(self, spark, documents):
+        # append-two-tokens copies are within a few simhash bits of their
+        # originals; the (k+1)-band join must find EVERY such pair
+        # (pigeonhole recall 1), and the verify step bounds hamming <= k
+        from featurescreening_jl_spark.operators.dedup import (
+            simhash_neardup_pairs,
+        )
+
+        docs = documents.where(F.col("doc_id") < 60).select("doc_id", "text")
+        copies = docs.select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+        )
+        out = simhash_neardup_pairs(
+            docs.unionByName(copies), num_bits=32, hamming_k=10,
+        ).toPandas()
+        assert (out["hamming"] <= 10).all()
+        copy_pairs = out[(out["id_b"] - out["id_a"]) == 1000]
+        # exact-copy-pair hammings, recomputed brute force
+        from featurescreening_jl_spark.operators.dedup import simhash
+
+        sims = (
+            docs.unionByName(copies)
+            .select("doc_id", simhash(F.col("text"), num_bits=32).alias("s"))
+            .toPandas()
+            .set_index("doc_id")["s"]
+        )
+        expect = {
+            i for i in range(60)
+            if bin(int(sims[i]) ^ int(sims[i + 1000])).count("1") <= 10
+        }
+        assert set(copy_pairs["id_a"]) == expect
+        assert len(expect) > 30  # non-vacuous: most copies are near-dups
