@@ -255,10 +255,14 @@ def q_asof_join_bucketed(spark, sf):
     from featurescreening_jl_spark.operators.asof_join import asof_join
 
     queries, sources = _asof_inputs(spark, sf)
+    # salt_buckets bounds pandas-group size (rows-per-day ÷ K). K is sized
+    # so groups stay ≥~1k rows at THIS data scale — at corpus scale K
+    # scales with the cluster (cogroup count = K × #days; per-group
+    # overhead is the tax for bounded memory).
     out = asof_join(
         queries, sources, on="ts", by="user_id",
         value_cols=["last_purchase_value"], strategy="bucketed",
-        bucket_seconds=86400,
+        bucket_seconds=86400, salt_buckets=4,
     )
     return out.select("event_id", "user_id", "last_purchase_value")
 
@@ -527,7 +531,7 @@ def q_lsh_topk(spark, sf):
     corpus = emb.unionByName(copies)
     queries_df = base4.select(F.col("vec_id").alias("query_id"), "embedding")
     out = lsh_topk(
-        corpus, queries_df, k=5, dim=64, n_planes=8, n_tables=8, seed=42
+        corpus, queries_df, k=5, dim=64, n_planes=8, n_tables=4, seed=42
     )
     return out.select(
         "query_id", "vec_id", F.round("similarity", 4).alias("similarity"),

@@ -267,12 +267,23 @@ def simhash_dedup(
     :func:`simhash_neardup_pairs` for hamming-k). ``keep_hash`` names an
     output column carrying each kept row's simhash — exposing it lets an
     external oracle verify every bit of the hash, not just row
-    membership."""
+    membership.
+
+    Single pass: the simhash is computed ONCE and the representative is
+    picked with a min-over-partition window (one shuffle on the hash) —
+    the groupBy+self-join formulation evaluated the shingle aggregation on
+    both join sides (measured 2×)."""
+    from pyspark.sql import Window
+
     with_h = df.withColumn(
         "__sim", simhash(F.col(text_col), num_bits=num_bits, portable=portable)
     )
-    keep = with_h.groupBy("__sim").agg(F.min(id_col).alias(id_col)).select(id_col)
-    out = with_h.join(keep, on=id_col, how="inner")
+    w = Window.partitionBy("__sim")
+    out = (
+        with_h.withColumn("__rep", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__rep"))
+        .drop("__rep")
+    )
     if keep_hash:
         return out.withColumnRenamed("__sim", keep_hash)
     return out.drop("__sim")
