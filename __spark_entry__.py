@@ -106,8 +106,10 @@ def _screen_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     t = _transcripts(spark, sf)
     # sample_id is the PORTABLE 60-bit md5 hash (not xxhash64) so the
     # DuckDB oracle can reconstruct the identical ids — this is what makes
-    # the flagship screening pipeline oracle-checkable end to end
-    feats = turn_features(t).select(
+    # the flagship screening pipeline oracle-checkable end to end.
+    # keep_text=False: the raw text never enters the window shuffle (it
+    # dominates row width ~10×; only map-side scalars derived from it do).
+    feats = turn_features(t, keep_text=False).select(
         hash60_portable(
             F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
         ).alias("sample_id"),

@@ -49,6 +49,8 @@ HEADLINE = [
     "language_id",
     "ngram_jaccard",
     "simhash_dedup",
+    "dedup_cc",
+    "simhash_neardup",
     "lsh_topk",
     "media_features",
     "screen_pipeline",

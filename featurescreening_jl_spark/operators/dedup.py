@@ -40,6 +40,37 @@ def _norm(text):
     return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
 
 
+def _cap_buckets(
+    keyed: DataFrame, key_cols: list[str], cap: int, op: str
+) -> DataFrame:
+    """Drop rows of LSH buckets larger than ``cap`` (hot-bucket guard for
+    the within-bucket self-join, which is O(bucket²)). Logs how many
+    buckets/rows were capped — a coverage cap must never be silent."""
+    import logging
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols)
+    # persist the sized keys: the stats action below materializes them
+    # once and the caller's bucket self-join reuses the cache, so the
+    # logging pass costs no second signature computation
+    sized = keyed.withColumn("__bsz", F.count("*").over(w)).persist()
+    kept = sized.where(F.col("__bsz") <= cap).drop("__bsz")
+    dropped = sized.where(F.col("__bsz") > cap)
+    stats = dropped.agg(
+        F.countDistinct(*key_cols).alias("buckets"),
+        F.count("*").alias("rows"),
+    ).first()
+    if stats["rows"]:
+        logging.getLogger(__name__).warning(
+            "%s: capped %d hot bucket(s) holding %d rows at "
+            "max_bucket_size=%d — pairs only findable through those "
+            "buckets are NOT emitted",
+            op, stats["buckets"], stats["rows"], cap,
+        )
+    return kept
+
+
 def hash60_portable(col):
     """Deterministic 60-bit hash reproducible OUTSIDE Spark: the first 15
     hex digits of md5, as a positive BIGINT. Engine-portable (DuckDB:
@@ -108,6 +139,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH, verified by true
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -116,6 +148,14 @@ def minhash_lsh_pairs(
     ``bands`` rows each → groupBy band-bucket (one shuffle of
     (8B key, id)) → self-join within buckets → distinct pairs →
     Jaccard verify on a join back to shingle arrays.
+
+    ``max_bucket_size`` caps the within-bucket self-join: a bucket holding
+    B ids yields B² candidate rows, so one hot bucket (e.g. millions of
+    boilerplate-identical docs) is an O(B²) blow-up. Buckets above the cap
+    are EXCLUDED from candidate generation — every surviving member of a
+    capped bucket almost surely also collides in another band, but recall
+    is no longer guaranteed, so the cap is opt-in and every capped bucket
+    is logged (never silent).
     """
     rows_per_band = num_hashes // bands
     sh = df.select(
@@ -147,6 +187,10 @@ def minhash_lsh_pairs(
         ).alias("__bb"),
     ).select(id_col, "__bb.band", "__bb.bucket")
 
+    if max_bucket_size is not None:
+        banded = _cap_buckets(
+            banded, ["band", "bucket"], max_bucket_size, "minhash_lsh_pairs"
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

@@ -188,9 +188,15 @@ def cosine_neardup_pairs(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold), bucketed by
-    sign-LSH so the self-join runs within buckets, not across the corpus."""
+    sign-LSH so the self-join runs within buckets, not across the corpus.
+
+    ``max_bucket_size`` guards the O(bucket²) self-join against hot
+    buckets (e.g. millions of near-identical boilerplate embeddings);
+    capped buckets are excluded and logged — see
+    ``dedup._cap_buckets`` for the recall trade-off."""
     dim = _require_dim(dim, "cosine_neardup_pairs")
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     keyed = df.select(
@@ -200,6 +206,13 @@ def cosine_neardup_pairs(
             "table", "bucket"
         ),
     )
+    if max_bucket_size is not None:
+        from featurescreening_jl_spark.operators.dedup import _cap_buckets
+
+        keyed = _cap_buckets(
+            keyed, ["table", "bucket"], max_bucket_size,
+            "cosine_neardup_pairs",
+        )
     a = keyed.alias("a")
     b = keyed.alias("b")
     pairs = (

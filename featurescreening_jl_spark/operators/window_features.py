@@ -89,8 +89,17 @@ def turn_features(
     df: DataFrame,
     gap_seconds: int = 1800,
     recent_k: int = 5,
+    keep_text: bool = True,
 ) -> DataFrame:
     """The engine's standard per-turn point-in-time feature set.
+
+    ``keep_text=False`` drops the raw text column BEFORE the window
+    shuffle: every text-derived feature is a per-row scalar (length, token
+    count) computable map-side, so nothing about the features needs the
+    text to cross the wire. At transcript scale the text dominates row
+    width ~10×, so the conv_id window shuffle — the pipeline's one big
+    shuffle — shrinks by the same factor. Keep the default (True) only
+    when downstream consumers need the text itself.
 
     Adds (all leakage-free — frames end at the current row):
 
@@ -113,19 +122,28 @@ def turn_features(
     is_tool = F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)
     prev_ts = F.lag("ts").over(w)
 
-    df = sessionize(df, gap_seconds=gap_seconds)
-    sess_w = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
-    sess_running = sess_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-
-    return (
+    # per-row scalars FIRST (map-side, before any shuffle) …
+    df = (
         df.withColumn("text_len", F.length("text").cast("double"))
-        .withColumn("token_count", F.size(F.split(F.col("text"), r"\s+")).cast("double"))
+        .withColumn(
+            "token_count", F.size(F.split(F.col("text"), r"\s+")).cast("double")
+        )
         .withColumn("is_user", F.when(F.col("role") == "user", 1.0).otherwise(0.0))
         .withColumn(
             "is_assistant", F.when(F.col("role") == "assistant", 1.0).otherwise(0.0)
         )
         .withColumn("is_tool", is_tool)
-        .withColumn(
+    )
+    if not keep_text:
+        # … so the wide text column never enters the window shuffle
+        df = df.drop("text")
+
+    df = sessionize(df, gap_seconds=gap_seconds)
+    sess_w = Window.partitionBy("conv_id", "session_id").orderBy("ts", "turn_idx")
+    sess_running = sess_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    return (
+        df.withColumn(
             "time_since_prev",
             F.coalesce(
                 epoch_seconds(F.col("ts")) - epoch_seconds(prev_ts), F.lit(0)
@@ -133,11 +151,11 @@ def turn_features(
         )
         .withColumn(
             "lag1_text_len",
-            F.coalesce(F.lag(F.length("text"), 1).over(w).cast("double"), F.lit(0.0)),
+            F.coalesce(F.lag("text_len", 1).over(w), F.lit(0.0)),
         )
         .withColumn(
             "lag2_text_len",
-            F.coalesce(F.lag(F.length("text"), 2).over(w).cast("double"), F.lit(0.0)),
+            F.coalesce(F.lag("text_len", 2).over(w), F.lit(0.0)),
         )
         .withColumn("session_turn_idx", (F.row_number().over(sess_w) - 1).cast("double"))
         .withColumn(
@@ -147,23 +165,17 @@ def turn_features(
                 - F.first(epoch_seconds(F.col("ts"))).over(sess_running)
             ).cast("double"),
         )
-        .withColumn("cum_tool_calls", F.sum(is_tool).over(running).cast("double"))
+        .withColumn("cum_tool_calls", F.sum("is_tool").over(running).cast("double"))
         .withColumn(
-            "cum_user_turns",
-            F.sum(F.when(F.col("role") == "user", 1).otherwise(0))
-            .over(running)
-            .cast("double"),
+            "cum_user_turns", F.sum("is_user").over(running).cast("double")
         )
-        .withColumn("tool_calls_last_k", F.sum(is_tool).over(recent).cast("double"))
+        .withColumn("tool_calls_last_k", F.sum("is_tool").over(recent).cast("double"))
         .withColumn(
-            "avg_text_len_last_k", F.avg(F.length("text")).over(recent).cast("double")
+            "avg_text_len_last_k", F.avg("text_len").over(recent).cast("double")
         )
         .withColumn(
             "label_next_is_tool",
-            F.coalesce(
-                F.lead(F.when(F.col("tool").isNotNull(), 1.0).otherwise(0.0)).over(w),
-                F.lit(0.0),
-            ),
+            F.coalesce(F.lead("is_tool").over(w), F.lit(0.0)),
         )
     )
 

@@ -285,3 +285,33 @@ class TestSimhashNeardup:
         }
         assert set(copy_pairs["id_a"]) == expect
         assert len(expect) > 30  # non-vacuous: most copies are near-dups
+
+
+class TestBucketCap:
+    def test_hot_bucket_capped_and_logged(self, spark, caplog):
+        import logging
+
+        # 12 identical docs = one hot bucket in every band; 2 distinct
+        # near-dups that must still be found when the hot bucket is capped
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [(i, "same boring boilerplate text repeated verbatim here")
+                for i in range(12)]
+        rows += [(100, base), (101, base + " iota")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with caplog.at_level(logging.WARNING,
+                             logger="featurescreening_jl_spark.operators.dedup"):
+            pairs = minhash_lsh_pairs(
+                df, jaccard_threshold=0.5, shingle_n=2, max_bucket_size=5,
+            ).toPandas()
+        got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+        assert (100, 101) in got
+        # the capped boilerplate pairs are gone (bucket size 12 > cap 5)
+        assert not any(a < 100 and b < 100 for a, b in got)
+        assert any("capped" in r.message for r in caplog.records)
+
+    def test_no_cap_keeps_everything(self, spark):
+        rows = [(i, "same boring boilerplate text repeated verbatim here")
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
+        assert len(pairs) == 15  # all 6-choose-2 exact-dup pairs

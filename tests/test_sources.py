@@ -112,7 +112,9 @@ class TestCliNoiseInjection:
 
         rng = np.random.default_rng(5)
         X = rng.standard_normal((150, 6))
-        X[:, 2] += np.repeat([0.0, 3.0], 75)
+        # 6-sigma separation: the informative column must dominate any
+        # forest regardless of bootstrap draws (guards against flakiness)
+        X[:, 2] += np.repeat([0.0, 6.0], 75)
         y = np.repeat(["u", "v"], 75)
         ff = FeatureFrame.from_xy(spark, X, y)
         inp = str(tmp_path / "in.parquet")
