@@ -67,6 +67,17 @@ def connected_components(
         .localCheckpoint()
     )
 
+    # Convergence detector: labels only ever DECREASE (min-propagation), so
+    # the label sum strictly decreases until the fixpoint — comparing sums
+    # needs one aggregate per round instead of a full old-vs-new join.
+    # decimal(38,0): id sums overflow int64 at corpus scale.
+    def label_sum(lb) -> int:
+        s = lb.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        return int(s) if s is not None else 0  # None ⇔ empty graph
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         # min label over each node's neighborhood (one hop)
         neigh = (
@@ -85,16 +96,12 @@ def connected_components(
             )
             .localCheckpoint()  # truncate lineage: round N doesn't replan 1..N-1
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        cur_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             edges.unpersist()
             return labels
+        prev_sum = cur_sum
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"

@@ -32,6 +32,7 @@ __all__ = [
     "read_transcript_stream",
     "streaming_session_aggregates",
     "streaming_conversation_rates",
+    "streaming_turn_state_features",
 ]
 
 
@@ -85,6 +86,95 @@ def streaming_session_aggregates(
             "total_chars",
             "first_turn_idx",
             "last_turn_idx",
+        )
+    )
+
+
+def streaming_turn_state_features(
+    stream: DataFrame,
+    state_ttl_seconds: int = 7200,
+) -> DataFrame:
+    """Per-turn RUNNING features computed incrementally with explicit
+    per-conversation state — the custom stateful operator
+    (``applyInPandasWithState``) the built-in windowed aggregations can't
+    express: it emits one row PER INPUT TURN (not per closed window),
+    carrying the running state as of that turn.
+
+    Output per arriving turn: ``(conv_id, turn_idx, turn_seq,
+    cum_tool_calls, time_since_prev)`` where ``turn_seq`` is the
+    conversation-arrival ordinal and ``time_since_prev`` the gap to the
+    previous processed turn (0.0 at conversation start) — matching the
+    batch ``turn_features`` running columns.
+
+    State per key is three scalars (turns seen, tool calls, last event
+    ts); ``EventTimeTimeout`` evicts a conversation once the watermark
+    passes ``state_ttl_seconds`` beyond its last turn, so state tracks
+    ACTIVE conversations only. (Event-time, not processing-time: a
+    processing-time timer keeps the query busy-looping empty micro-batches
+    until the TTL fires — measured as an availableNow run that never
+    quiesces — whereas event-time timeouts ride the watermark the data
+    itself advances.) Within a micro-batch, turns are processed in
+    ``(ts, turn_idx)`` order — the same total order the batch layer uses.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = (
+        "conv_id string, turn_idx int, turn_seq long, "
+        "cum_tool_calls long, time_since_prev double"
+    )
+    state_schema = "n_turns long, cum_tools long, last_ts double"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_turns, cum_tools, last_ts = (
+            state.get if state.exists else (0, 0, None)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            ts = (pdf["ts"].astype("int64") / 1e9).to_numpy()
+            prev = np.concatenate(
+                ([ts[0] if last_ts is None else last_ts], ts[:-1])
+            )
+            tool_flags = pdf["tool"].notna().to_numpy().astype("int64")
+            cums = cum_tools + np.cumsum(tool_flags)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "turn_seq": n_turns + np.arange(len(pdf), dtype="int64"),
+                    "cum_tool_calls": cums,
+                    "time_since_prev": ts - prev,
+                }
+            )
+            n_turns += len(pdf)
+            cum_tools = int(cums[-1])
+            last_ts = float(ts[-1])
+        state.update((n_turns, cum_tools, last_ts))
+        if last_ts is not None:
+            # evict when the watermark passes last activity + TTL; the
+            # timestamp must lie beyond the current watermark
+            state.setTimeoutTimestamp(
+                max(
+                    int((last_ts + state_ttl_seconds) * 1000),
+                    state.getCurrentWatermarkMs() + 1000,
+                )
+            )
+
+    return (
+        stream.select("conv_id", "turn_idx", "ts", "tool")
+        .withWatermark("ts", f"{state_ttl_seconds} seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
         )
     )
 

@@ -1,0 +1,142 @@
+"""Physical-plan shape assertions — the plans we DESIGNED for, not just
+the first ones that passed. Each test pins a property that a regression
+(or an innocent-looking refactor) would silently destroy at 100× scale.
+
+Complements tests/test_importance_dist.py::TestPlanShape (which pins the
+map-only screening round)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+class TestScanPruning:
+    def test_projection_prunes_scan_columns(self, spark):
+        import __spark_entry__ as em
+
+        df = em.q_projection(spark, SF)
+        txt = formatted(df)
+        # ReadSchema of the parquet scan must carry ONLY the 4 projected
+        # columns — a scan reading all 16 lineitem columns for a
+        # 4-column projection is wrong at any scale
+        read = [ln for ln in txt.splitlines() if "ReadSchema" in ln]
+        assert read, txt
+        schema_line = read[0]
+        for col in ("l_orderkey", "l_linenumber", "l_quantity",
+                    "l_extendedprice"):
+            assert col in schema_line
+        assert "l_comment" not in schema_line
+        assert "l_shipdate" not in schema_line
+
+    def test_filter_pushed_to_scan(self, spark):
+        # NB: the supplier table — other test modules .cache() documents/
+        # events, and the CacheManager would substitute an
+        # InMemoryTableScan for any matching plan fragment, hiding the
+        # parquet scan this test asserts on
+        sup = (
+            spark.read.parquet(f"{SF}/supplier.parquet")
+            .where(F.col("s_suppkey") < 100)
+            .select("s_suppkey")
+        )
+        txt = formatted(sup)
+        assert "PushedFilters" in txt
+        assert "LessThan(s_suppkey,100)" in txt.replace(" ", "")
+
+
+class TestTopK:
+    def test_topk_is_take_ordered(self, spark):
+        # sort+limit must plan TakeOrderedAndProject (per-partition top-k,
+        # tiny driver merge), NOT a global sort
+        import __spark_entry__ as em
+
+        assert "TakeOrderedAndProject" in plan(em.q_topk(spark, SF))
+
+    def test_select_top_fraction_is_take_ordered(self, spark):
+        # the round-1 version used an un-partitioned window = single
+        # partition execution; this pins the fix
+        import __spark_entry__ as em
+
+        p = plan(em.q_select_top_fraction(spark, SF))
+        assert "TakeOrderedAndProject" in p
+        assert "Window" not in p
+
+
+class TestJoinStrategies:
+    def test_small_dim_join_broadcasts(self, spark):
+        import __spark_entry__ as em
+
+        assert "BroadcastHashJoin" in plan(em.q_column_merge_join(spark, SF))
+
+    def test_asof_window_single_shuffle(self, spark):
+        # union-tag-window as-of: exactly ONE exchange (the window
+        # partitionBy) on the query path — a second shuffle would double
+        # the dominant cost of the throughput-critical operator
+        from featurescreening_jl_spark.operators.asof_join import asof_join
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        q = ev.select("event_id", "user_id", "ts")
+        s = ev.select("user_id", "ts", F.col("value").alias("v"))
+        out = asof_join(q, s, on="ts", by="user_id", value_cols=["v"],
+                        strategy="window")
+        n_exchanges = plan(out).count("Exchange hashpartitioning")
+        assert n_exchanges == 1, plan(out)
+
+
+class TestFeaturizeShape:
+    def test_single_sort_for_window_features(self, spark):
+        # all turn features share one (conv_id / ts, turn_idx) window
+        # ordering; the plan must not sort once per feature
+        from featurescreening_jl_spark.operators.window_features import (
+            turn_features,
+        )
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+
+        t = synthetic_transcripts(spark, 50, seed=1)
+        out = turn_features(t, keep_text=False)
+        p = plan(out)
+        # conv_id-keyed exchanges: sessionize + feature windows must share
+        # ONE shuffle; the session-scoped windows add no new exchange
+        # because (conv_id, session_id) is a refinement of conv_id
+        assert p.count("Exchange hashpartitioning") <= 1, p
+
+    def test_keep_text_false_excludes_text_from_exchange(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            turn_features,
+        )
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+
+        t = synthetic_transcripts(spark, 50, seed=1)
+        slim = turn_features(t, keep_text=False)
+        # cum_tool_calls forces the window (and its exchange) to survive
+        # pruning; the exchange's Input column list must carry the derived
+        # text_len but NOT the raw text
+        txt = formatted(slim.select("conv_id", "turn_idx", "cum_tool_calls",
+                                    "lag1_text_len"))
+        assert "Exchange" in txt, txt
+        import re
+
+        section = txt[txt.index(") Exchange"):]
+        input_line = [ln for ln in section.splitlines() if "Input" in ln][0]
+        assert "text_len#" in input_line
+        assert re.search(r"\btext#", input_line) is None, input_line
+        wide = turn_features(t, keep_text=True)
+        assert "text" in wide.columns and "text" not in slim.columns

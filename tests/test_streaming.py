@@ -102,3 +102,100 @@ class TestStreamingRates:
         assert int(out["n_turns"].sum()) == batch_total
         assert set(out["role"]) <= {"user", "assistant", "tool"}
         assert (out["n_active_convs"] > 0).all()
+
+
+class TestStatefulTurnFeatures:
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        """applyInPandasWithState running features == batch running
+        features, with the input split into two file batches processed by
+        two availableNow runs sharing one checkpoint (state must carry)."""
+        import pandas as pd
+        from pyspark.sql import Window
+
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_turn_state_features,
+        )
+
+        full = synthetic_transcripts(spark, 8, seed=7, heavy_every=0)
+        full.cache()
+        # stateful micro-batches commit one state store per shuffle
+        # partition per batch — at tiny scale that overhead dominates, so
+        # pin the stream to 2 partitions for this test
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        split = 4
+        part1 = full.where(F.col("turn_idx") < split)
+        part2 = full.where(F.col("turn_idx") >= split)
+        data_dir = str(tmp_path / "turns")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+        part1.coalesce(1).write.mode("append").parquet(data_dir)
+
+        def run_phase():
+            # file sink: the one built-in sink that supports restarting
+            # from the checkpoint (memory sink does not)
+            stream = read_transcript_stream(spark, data_dir)
+            q = (
+                # TTL (= watermark delay) larger than the dataset's time
+                # span: nothing is late, nothing evicts mid-test
+                streaming_turn_state_features(stream, state_ttl_seconds=10**7)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # a stateful query with registered processing-time timeouts
+            # stays alive waiting for them — block until the data is
+            # processed, then stop explicitly
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+
+        run_phase()
+        part2.coalesce(1).write.mode("append").parquet(data_dir)
+        run_phase()
+        got = (
+            spark.read.parquet(out_dir)
+            .toPandas()
+            .sort_values(["conv_id", "turn_seq"])
+            .reset_index(drop=True)
+        )
+
+        w = Window.partitionBy("conv_id").orderBy("ts", "turn_idx")
+        exp = (
+            full.select(
+                "conv_id",
+                "turn_idx",
+                (F.row_number().over(w) - 1).cast("long").alias("turn_seq"),
+                F.sum(
+                    F.when(F.col("tool").isNotNull(), 1).otherwise(0)
+                )
+                .over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                .cast("long")
+                .alias("cum_tool_calls"),
+                F.coalesce(
+                    F.col("ts").cast("double")
+                    - F.lag(F.col("ts").cast("double")).over(w),
+                    F.lit(0.0),
+                ).alias("time_since_prev"),
+            )
+            .toPandas()
+            .sort_values(["conv_id", "turn_seq"])
+            .reset_index(drop=True)
+        )
+        # phase 1 saw turn_idx < split first: since ts increases with
+        # turn_idx within a conversation, arrival order == event order and
+        # the streamed running features must equal the batch ones
+        assert len(got) == len(exp)
+        pd.testing.assert_frame_equal(
+            got[["conv_id", "turn_idx", "turn_seq", "cum_tool_calls"]],
+            exp[["conv_id", "turn_idx", "turn_seq", "cum_tool_calls"]],
+            check_dtype=False,
+        )
+        assert (abs(got["time_since_prev"] - exp["time_since_prev"]) < 1e-6).all()
+        full.unpersist()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
