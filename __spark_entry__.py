@@ -577,16 +577,33 @@ def q_cosine_neardup(spark, sf):
 
 
 def q_dedup_cc(spark, sf):
-    # transitive dedup clustering: exact n-gram-Jaccard pair graph →
-    # distributed min-label connected components. Oracle = the same pair
-    # graph clustered by a DuckDB RECURSIVE CTE (min reachable id).
-    from featurescreening_jl_spark.operators.dedup import ngram_jaccard_pairs
+    # transitive dedup clustering: exact n-gram-Jaccard pair graph (via
+    # the inverted-index formulation — zero-overlap pairs never
+    # materialize) → distributed min-label connected components. Oracle =
+    # the same pair graph clustered by a DuckDB RECURSIVE CTE (min
+    # reachable id).
+    from featurescreening_jl_spark.operators.dedup import (
+        ngram_jaccard_pairs_indexed,
+    )
     from featurescreening_jl_spark.operators.graph import connected_components
 
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
-    pairs = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.3)
+    pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("id").alias("doc_id"), "component")
+
+
+def q_ngram_jaccard_indexed(spark, sf):
+    # inverted-index exact Jaccard — identical semantics (and oracle) to
+    # ngram_jaccard, different physical strategy: explode → hash-key
+    # self-join → count, instead of an all-pairs cross join
+    from featurescreening_jl_spark.operators.dedup import (
+        ngram_jaccard_pairs_indexed,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    out = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def q_simhash_neardup(spark, sf):
@@ -737,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "fingerprint_distinct": q_fingerprint_distinct,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_indexed": q_ngram_jaccard_indexed,
         "simhash_dedup": q_simhash_dedup,
         "dedup_cc": q_dedup_cc,
         "simhash_neardup": q_simhash_neardup,
@@ -1032,6 +1050,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "ngram_jaccard": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents WHERE doc_id < 400
+              )
+              WHERE len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
+            )
+            SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            ) WHERE jaccard >= 0.3
+        """,
+        # identical semantics to ngram_jaccard (different Spark physical
+        # strategy) → identical oracle
+        "ngram_jaccard_indexed": r"""
             WITH sh AS (
               SELECT doc_id,
                      list_distinct(list_transform(

@@ -48,6 +48,7 @@ HEADLINE = [
     "doc_quality",
     "language_id",
     "ngram_jaccard",
+    "ngram_jaccard_indexed",
     "simhash_dedup",
     "dedup_cc",
     "simhash_neardup",

@@ -33,6 +33,7 @@ __all__ = [
     "simhash_dedup",
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_indexed",
 ]
 
 
@@ -426,6 +427,62 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.size(F.array_intersect("__sh_a", "__sh_b"))
             / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_indexed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT same result as :func:`ngram_jaccard_pairs` (for
+    ``threshold > 0``), via an inverted index instead of a cross join:
+    explode shingles → self-join on the shingle (8-byte hash key, not the
+    string) → the per-pair match count IS the intersection size, and
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|``.
+
+    Cost is Σ_shingle df(s)² over shingles the pair-candidates share —
+    pairs with zero common shingles (jaccard 0) are never materialized,
+    where the cross join scores every pair. The flip side: a boilerplate
+    shingle appearing in B docs contributes B² join rows, so corpora with
+    hot shingles want :func:`minhash_lsh_pairs` (banded, cap-able) — this
+    operator is the exact verifier for moderate candidate sets.
+    """
+    if threshold <= 0:
+        raise ValueError(
+            "indexed jaccard requires threshold > 0 (zero-overlap pairs "
+            "are never materialized)"
+        )
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    inv = sh.select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    a = inv.select(F.col(id_col).alias("id_a"), "__h")
+    b = inv.select(F.col(id_col).alias("id_b"), "__h")
+    inter = (
+        a.join(b, on=["__h"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -315,3 +315,30 @@ class TestBucketCap:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
         assert len(pairs) == 15  # all 6-choose-2 exact-dup pairs
+
+
+class TestNgramJaccardIndexed:
+    def test_matches_cross_join_implementation(self, spark, documents):
+        from featurescreening_jl_spark.operators.dedup import (
+            ngram_jaccard_pairs_indexed,
+        )
+
+        docs = documents.where(F.col("doc_id") < 150)
+        cross = ngram_jaccard_pairs(docs, shingle_n=3, threshold=0.25).toPandas()
+        indexed = ngram_jaccard_pairs_indexed(
+            docs, shingle_n=3, threshold=0.25
+        ).toPandas()
+        key = lambda p: sorted(
+            (int(r.id_a), int(r.id_b), round(float(r.jaccard), 9))
+            for r in p.itertuples()
+        )
+        assert key(cross) == key(indexed)
+        assert len(indexed) > 0  # non-vacuous on this slice
+
+    def test_rejects_zero_threshold(self, spark, documents):
+        from featurescreening_jl_spark.operators.dedup import (
+            ngram_jaccard_pairs_indexed,
+        )
+
+        with pytest.raises(ValueError, match="threshold"):
+            ngram_jaccard_pairs_indexed(documents, threshold=0.0)
