@@ -182,6 +182,7 @@ def feature_importance_partitioned(
     num_partitions: int = 64,
     trees_per_partition: Optional[int] = None,
     pre_partitioned: bool = False,
+    transfer_dtype: str = "double",
 ) -> list[tuple[str, int]]:
     """Ranked ``(feature_name, split_count)`` via the partition ensemble.
 
@@ -195,6 +196,14 @@ def feature_importance_partitioned(
     screening loop does this once when caching the base frame) — the
     per-round training stage is then MAP-ONLY: a narrow projection of the
     cached partitions straight into ``mapInPandas``, zero shuffles.
+
+    ``transfer_dtype="float"`` halves the JVM→Arrow→pandas transfer
+    volume of the training stage (its dominant cost once trees are cheap:
+    the stage is memory-bandwidth-bound, see BENCH/BASELINE.md stage
+    decomposition). The trees bin features to ≤32 quantile buckets
+    anyway, so float32 almost never moves a split; it CAN flip
+    quantile-edge ties, so results may differ from the float64 path —
+    deterministic either way, opt-in, default off.
     """
     from pyspark.sql import functions as F
 
@@ -214,10 +223,13 @@ def feature_importance_partitioned(
     # hash-repartition on the id fixes WHICH rows land in each partition;
     # sortWithinPartitions fixes their ORDER (bootstrap draws index rows by
     # position) — together: identical results at any core count
+    if transfer_dtype not in ("double", "float"):
+        raise ValueError(f"transfer_dtype must be double|float, got "
+                         f"{transfer_dtype!r}")
     proj = ff.df.select(
         F.col(ff.id_col),
         mapping[F.col(ff.label_col)].alias("__y"),
-        *[F.col(c).cast("double") for c in names],
+        *[F.col(c).cast(transfer_dtype) for c in names],
     )
     if pre_partitioned and proj.rdd.getNumPartitions() != num_partitions:
         # the caller's "already repartition(num_partitions, id)-shaped"

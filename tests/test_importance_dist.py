@@ -145,3 +145,41 @@ class TestBackendAgreement:
 
         ml = feature_importance(ff, config=CFG, rng=5)
         assert dist[0][0] == ml[0][0] == "sig"
+
+
+class TestTransferDtype:
+    def test_float_transfer_same_ranking_shape(self, spark):
+        # float32 halves Arrow transfer; on well-separated data the
+        # ranking must match the float64 path (quantile-edge ties could
+        # differ in general — documented, opt-in)
+        import numpy as np
+
+        from featurescreening_jl_spark.frame import FeatureFrame
+        from featurescreening_jl_spark.operators.importance_dist import (
+            feature_importance_partitioned,
+        )
+
+        rng = np.random.default_rng(2)
+        X = rng.standard_normal((300, 6))
+        X[:, 4] += np.repeat([0.0, 5.0], 150)
+        ff = FeatureFrame.from_xy(spark, X, np.repeat(["a", "b"], 150))
+        cfg = {"n_trees": 64, "max_depth": 6}
+        r64 = feature_importance_partitioned(
+            ff, config=cfg, rng=3, num_partitions=8)
+        r32 = feature_importance_partitioned(
+            ff, config=cfg, rng=3, num_partitions=8, transfer_dtype="float")
+        assert r64[0][0] == r32[0][0] == "5"
+        assert [n for n, _ in r64] == [n for n, _ in r32]
+
+    def test_rejects_bad_dtype(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.frame import FeatureFrame
+        from featurescreening_jl_spark.operators.importance_dist import (
+            feature_importance_partitioned,
+        )
+
+        ff = FeatureFrame.from_xy(
+            spark, np.zeros((20, 2)), ["a"] * 10 + ["b"] * 10)
+        with pytest.raises(ValueError, match="transfer_dtype"):
+            feature_importance_partitioned(ff, transfer_dtype="int")
