@@ -97,22 +97,21 @@ def _screen_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     leakage-free featurization of the transcripts table, then the
     random-forest tournament screening loop."""
     from featurescreening_jl_spark import FeatureFrame, screen
-    from featurescreening_jl_spark.operators.dedup import hash60_portable
     from featurescreening_jl_spark.operators.window_features import (
         TURN_FEATURE_COLS,
         turn_features,
+        turn_sample_id,
     )
 
     t = _transcripts(spark, sf)
-    # sample_id is the PORTABLE 60-bit md5 hash (not xxhash64) so the
-    # DuckDB oracle can reconstruct the identical ids — this is what makes
-    # the flagship screening pipeline oracle-checkable end to end.
+    # sample_id is the canonical shared definition (turn_sample_id): a
+    # PORTABLE 60-bit md5 hash so the DuckDB oracle can reconstruct the
+    # identical ids — this is what makes the flagship screening pipeline
+    # oracle-checkable end to end. The CLI job uses the same expression.
     # keep_text=False: the raw text never enters the window shuffle (it
     # dominates row width ~10×; only map-side scalars derived from it do).
     feats = turn_features(t, keep_text=False).select(
-        hash60_portable(
-            F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
-        ).alias("sample_id"),
+        turn_sample_id().alias("sample_id"),
         F.when(F.col("label_next_is_tool") > 0, "tool")
         .otherwise("no_tool")
         .alias("label"),
@@ -405,7 +404,10 @@ def q_transcripts_conversation_agg(spark, sf):
 
 def q_transcripts_asof_backfill(spark, sf):
     # the north_star backfill: attach the latest preceding tool turn at
-    # every (conv_id, ts) cutoff — merge_asof (cogroup+applyInPandas) path
+    # every (conv_id, ts) cutoff. Flagship slot showcases the WINDOW
+    # strategy — the fastest plan at scale (10.4s vs merge_asof's 17.6s on
+    # 15.46M rows, tools/scale_smoke.py): one shuffle, fully codegen'd,
+    # streaming per partition. merge_asof coverage lives in q_asof_join_merge.
     from featurescreening_jl_spark.operators.asof_join import asof_join
 
     t = _transcripts(spark, sf)
@@ -415,7 +417,7 @@ def q_transcripts_asof_backfill(spark, sf):
     )
     out = asof_join(
         queries_df, sources, on="ts", by="conv_id",
-        value_cols=["last_tool"], strategy="merge_asof",
+        value_cols=["last_tool"], strategy="window",
     )
     return out.select("conv_id", "turn_idx", "last_tool")
 
@@ -593,6 +595,22 @@ def q_dedup_cc(spark, sf):
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_cc_star(spark, sf):
+    # same clustering task as dedup_cc, run through the alternating
+    # large-star/small-star algorithm (O(log n) rounds independent of
+    # graph diameter — the long-chain scale path). Identical output, so
+    # it shares dedup_cc's recursive-CTE oracle.
+    from featurescreening_jl_spark.operators.dedup import (
+        ngram_jaccard_pairs_indexed,
+    )
+    from featurescreening_jl_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
+    cc = connected_components(pairs, "id_a", "id_b", algorithm="star")
+    return cc.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_ngram_jaccard_indexed(spark, sf):
     # inverted-index exact Jaccard — identical semantics (and oracle) to
     # ngram_jaccard, different physical strategy: explode → hash-key
@@ -757,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_indexed": q_ngram_jaccard_indexed,
         "simhash_dedup": q_simhash_dedup,
         "dedup_cc": q_dedup_cc,
+        "dedup_cc_star": q_dedup_cc_star,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "cosine_neardup": q_cosine_neardup,
@@ -765,7 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "projection": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
@@ -1282,3 +1301,11 @@ def oracle_sql() -> dict[str, str]:
             ), unnest(generate_series(0, n_frames - 1)) AS u(f)
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # the star-algorithm CC query computes the identical clustering —
+    # same recursive-CTE oracle, different distributed algorithm
+    d["dedup_cc_star"] = d["dedup_cc"]
+    return d

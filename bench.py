@@ -55,6 +55,14 @@ HEADLINE = [
     "lsh_topk",
     "media_features",
     "screen_pipeline",
+    # round 3: every oracle-checked query gets a perf baseline — a
+    # regression in any driver query must be visible in BENCH_r*.json
+    "lang_distribution",
+    "fingerprint_distinct",
+    "transcripts_shape",
+    "cosine_neardup",
+    "media_frame_sample",
+    "dedup_cc_star",
 ]
 
 

@@ -25,12 +25,18 @@ by data shape (SURVEY.md §2.3, §7.1 M5):
                 per sorted group. A single mega-key still lands whole in
                 one group — that's what ``bucketed`` is for.
 
-``bucketed``  — the 10^12-row scale path, skew-proof: phase 1 as-of joins
-                WITHIN each (key-salt, time-bucket) cogroup — group size
-                is bounded by rows-per-bucket ÷ salt_buckets no matter how
-                hot any key OR how big the corpus (grouping on the time
+``bucketed``  — the 10^12-row scale path, skew-resistant: phase 1 as-of
+                joins WITHIN each (key-salt, time-bucket) cogroup —
+                expected group size is rows-per-bucket ÷ salt_buckets and
+                does NOT grow with corpus size (grouping on the time
                 bucket ALONE, as round 1 did, makes group size grow
-                linearly with corpus size — executor OOM at 10^12 rows);
+                linearly with the corpus — executor OOM at 10^12 rows).
+                The hard bound: salting splits KEYS across groups, not one
+                key's rows — all of a single key's rows in one time bucket
+                land in one pandas group, so the worst-case group is the
+                HOTTEST KEY'S rows per ``bucket_seconds``. Shrink
+                ``bucket_seconds`` to bound a mega-key (verified by the
+                single-mega-key stress test in tests/test_asof.py);
                 phase 2 computes each bucket's carry-in — the last source
                 value from any strictly earlier bucket — via a per-key
                 window over the (tiny) bucket-level rollup, then patches
@@ -249,14 +255,17 @@ def _asof_bucketed(
     s_b = sources.withColumn("__bkt", bucket).withColumn("__salt", salt)
 
     # ---- phase 1: as-of WITHIN each (key-salt, time bucket) ---------------
-    # The cogroup key is (hash(by) % salt_buckets, bucket): group size is
-    # bounded by rows-per-bucket ÷ salt_buckets REGARDLESS of total corpus
-    # size — round 1 grouped on the bucket alone, whose group size grows
-    # linearly with the corpus (one giant pandas group per hour at 10^12
-    # rows → executor OOM). All of a key's rows share a salt, so per-key
-    # as-of semantics are untouched; keys inside a group are handled
-    # vectorized by merge_asof(by=key), keeping per-group overhead
-    # amortized. salt_buckets sizes groups to the cluster, not the data.
+    # The cogroup key is (hash(by) % salt_buckets, bucket): expected group
+    # size is rows-per-bucket ÷ salt_buckets and independent of total
+    # corpus size — round 1 grouped on the bucket alone, whose group size
+    # grows linearly with the corpus (one giant pandas group per hour at
+    # 10^12 rows → executor OOM). All of a key's rows share a salt, so
+    # per-key as-of semantics are untouched — which also means the WORST
+    # CASE group is one key's rows within one bucket (salting cannot split
+    # a single mega-key); bucket_seconds is the knob that bounds that.
+    # Keys inside a group are handled vectorized by merge_asof(by=key),
+    # keeping per-group overhead amortized. salt_buckets sizes groups to
+    # the cluster, not the data.
     schema = _merged_schema(q_b, s_b, on, value_cols)
     out_cols = [f.name for f in schema.fields]
     # the key is re-aliased on the source side: when queries and sources

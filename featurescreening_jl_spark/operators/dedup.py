@@ -46,21 +46,25 @@ def _cap_buckets(
 ) -> DataFrame:
     """Drop rows of LSH buckets larger than ``cap`` (hot-bucket guard for
     the within-bucket self-join, which is O(bucket²)). Logs how many
-    buckets/rows were capped — a coverage cap must never be silent."""
+    buckets/rows were capped — a coverage cap must never be silent.
+
+    NOTE: passing a cap runs an eager Spark job at call time (the hot
+    buckets must be materialized to be logged). Hot keys come from a plain
+    hash aggregate and are removed with a left-anti join — nothing is
+    ``persist()``-ed, so no cached table outlives the call (the earlier
+    window+persist formulation leaked its cache for the session's
+    lifetime). The agg output is one row per DISTINCT bucket key, so it
+    stays small even at 10^12 input rows; when no bucket exceeds the cap,
+    the input plan is returned untouched (no join added)."""
     import logging
 
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*key_cols)
-    # persist the sized keys: the stats action below materializes them
-    # once and the caller's bucket self-join reuses the cache, so the
-    # logging pass costs no second signature computation
-    sized = keyed.withColumn("__bsz", F.count("*").over(w)).persist()
-    kept = sized.where(F.col("__bsz") <= cap).drop("__bsz")
-    dropped = sized.where(F.col("__bsz") > cap)
-    stats = dropped.agg(
-        F.countDistinct(*key_cols).alias("buckets"),
-        F.count("*").alias("rows"),
+    hot = (
+        keyed.groupBy(*key_cols)
+        .agg(F.count("*").alias("__bsz"))
+        .where(F.col("__bsz") > cap)
+    )
+    stats = hot.agg(
+        F.count("*").alias("buckets"), F.sum("__bsz").alias("rows")
     ).first()
     if stats["rows"]:
         logging.getLogger(__name__).warning(
@@ -69,7 +73,8 @@ def _cap_buckets(
             "buckets are NOT emitted",
             op, stats["buckets"], stats["rows"], cap,
         )
-    return kept
+        return keyed.join(hot.select(*key_cols), on=key_cols, how="left_anti")
+    return keyed
 
 
 def hash60_portable(col):
@@ -440,19 +445,27 @@ def ngram_jaccard_pairs_indexed(
     *,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT same result as :func:`ngram_jaccard_pairs` (for
-    ``threshold > 0``), via an inverted index instead of a cross join:
-    explode shingles → self-join on the shingle (8-byte hash key, not the
-    string) → the per-pair match count IS the intersection size, and
-    ``|A ∪ B| = |A| + |B| - |A ∩ B|``.
+    ``threshold > 0`` and ``max_shingle_df=None``), via an inverted index
+    instead of a cross join: explode shingles → self-join on the SHINGLE
+    STRING → the per-pair match count IS the intersection size, and
+    ``|A ∪ B| = |A| + |B| - |A ∩ B|``. The join key is the string itself,
+    not its 64-bit hash — this operator is positioned as the exact
+    verifier, and a hash-collision between distinct shingles would inflate
+    the intersection count. (The wider shuffle key is the price of
+    exactness; the probabilistic scale path is :func:`minhash_lsh_pairs`.)
 
     Cost is Σ_shingle df(s)² over shingles the pair-candidates share —
     pairs with zero common shingles (jaccard 0) are never materialized,
     where the cross join scores every pair. The flip side: a boilerplate
-    shingle appearing in B docs contributes B² join rows, so corpora with
-    hot shingles want :func:`minhash_lsh_pairs` (banded, cap-able) — this
-    operator is the exact verifier for moderate candidate sets.
+    shingle appearing in B docs contributes B² join rows.
+    ``max_shingle_df`` guards that blow-up: shingles whose document
+    frequency exceeds the cap are dropped from the INDEX (logged, never
+    silent — mirroring ``_cap_buckets``). Capped shingles still count
+    toward ``|A|``/``|B|`` but not the intersection, so reported jaccard
+    becomes a LOWER bound: pairs may be missed, never falsely emitted.
     """
     if threshold <= 0:
         raise ValueError(
@@ -463,13 +476,15 @@ def ngram_jaccard_pairs_indexed(
         F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
     ).where(F.size("__sh") > 0)
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
-    inv = sh.select(
-        F.col(id_col), F.explode("__sh").alias("__s")
-    ).select(F.col(id_col), F.xxhash64("__s").alias("__h"))
-    a = inv.select(F.col(id_col).alias("id_a"), "__h")
-    b = inv.select(F.col(id_col).alias("id_b"), "__h")
+    inv = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        inv = _cap_buckets(
+            inv, ["__s"], max_shingle_df, "ngram_jaccard_pairs_indexed"
+        )
+    a = inv.select(F.col(id_col).alias("id_a"), "__s")
+    b = inv.select(F.col(id_col).alias("id_b"), "__s")
     inter = (
-        a.join(b, on=["__h"])
+        a.join(b, on=["__s"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__inter"))

@@ -13,14 +13,15 @@ join + one groupBy (both shuffles on the node id, broadcast-eligible when
 the frontier shrinks), with ``localCheckpoint`` truncating the plan
 lineage so round N's plan does not re-derive rounds 1..N-1.
 
-Scale notes (the 100 TB story): rounds needed = graph diameter. Near-dup
-graphs are unions of near-cliques (every member of a dup cluster pairs
-with most others), so diameters are tiny (2-4) in practice — the
-pathological long-chain case is bounded by ``max_iterations``. The
-alternating large-star/small-star algorithm (Kiveris et al., "Connected
-Components in MapReduce and Beyond") converges in O(log n) rounds
-independent of diameter and is the drop-in upgrade if chains ever matter;
-per-round cost is the same shape (self-join + min-aggregate).
+Scale notes (the 100 TB story): min-label rounds needed = graph diameter.
+Near-dup graphs are unions of near-cliques (every member of a dup cluster
+pairs with most others), so diameters are tiny (2-4) in practice — the
+pathological long-chain case is bounded by ``max_iterations``. For
+long-chain graphs, ``algorithm="star"`` runs the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", 2014), which converges in O(log n) rounds
+independent of diameter; per-round cost is the same shape
+(self-join + min-aggregate).
 
 Reference parity note: the reference engine has no graph operator — this
 is part of the graft's training-data-pipeline layer (SURVEY.md §2 LLM
@@ -41,6 +42,7 @@ def connected_components(
     id_b: str = "id_b",
     *,
     max_iterations: int = 25,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Label every node of the undirected pair graph with the MINIMUM node
     id reachable from it (= a canonical component representative).
@@ -49,9 +51,21 @@ def connected_components(
     pair. ``component == id`` exactly for the representative (minimum)
     node of each component.
 
-    Raises if ``max_iterations`` rounds don't converge (diameter larger
-    than expected — raise the cap or switch to large-star/small-star).
+    ``algorithm="minlabel"`` (default): per-round min-label propagation —
+    rounds = graph diameter, ideal for near-clique dup graphs.
+    ``algorithm="star"``: alternating large-star/small-star — O(log n)
+    rounds independent of diameter, the long-chain scale path.
+
+    Raises if ``max_iterations`` rounds don't converge (for minlabel:
+    diameter larger than expected — raise the cap or switch to
+    ``algorithm="star"``).
     """
+    if algorithm == "star":
+        return _cc_star(pairs, id_a, id_b, max_iterations=max_iterations)
+    if algorithm != "minlabel":
+        raise ValueError(
+            f"unknown algorithm {algorithm!r} (expected 'minlabel' or 'star')"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -105,4 +119,94 @@ def connected_components(
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
+    )
+
+
+def _cc_star(
+    pairs: DataFrame, id_a: str, id_b: str, *, max_iterations: int
+) -> DataFrame:
+    """Alternating large-star/small-star (Kiveris et al. 2014): O(log n)
+    rounds independent of graph diameter — the long-chain scale path.
+
+    Edges are kept CANONICAL (``u > v``). Each round:
+
+    large-star — for every node u with min-reachable candidate
+    ``m = min(N(u) ∪ {u})``, connect u's strictly LARGER neighbors to m
+    (``{(v, m) : v ∈ N(u), v > u}``; m ≤ u < v keeps edges canonical).
+
+    small-star — for every node u (neighbors now all smaller) with
+    ``m = min(N(u))``, connect its other neighbors and itself to m
+    (``{(v, m) : v ∈ N(u), v ≠ m} ∪ {(u, m)}``).
+
+    Both steps are one hash-agg (per-node min) + one join — no
+    ``collect_set`` neighborhood materialization, so a hot node never
+    builds a giant array. Fixpoint = disjoint union of stars centered at
+    component minima; detected by a (count, hash-sum) checksum of the
+    canonical edge set (one tiny aggregate per round).
+    ``localCheckpoint`` truncates lineage so round N does not replan
+    rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionAll(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        return (row["n"], int(row["s"]) if row["s"] is not None else 0)
+
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_iterations):
+        # ---- large-star ----
+        both = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("__mn"))
+        ls = (
+            both.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("__mn"), F.col("u")).alias("v"),
+            )
+            .distinct()
+        )
+        # ---- small-star (ls edges are canonical: all neighbors of u < u)
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("__m"))
+        new_edges = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("__m"))
+            .select(F.col("v").alias("u"), F.col("__m").alias("v"))
+            .unionAll(mins2.select("u", F.col("__m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(new_edges)
+        edges = new_edges
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(star) did not converge in "
+            f"{max_iterations} rounds"
+        )
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component")
     )

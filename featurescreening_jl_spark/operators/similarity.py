@@ -76,17 +76,6 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _sketch(vec_col, planes: list[list[float]]):
-    """Sign-bit LSH sketch: bit j = sign(<v, plane_j>). Pure expressions."""
-    bits = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        d = dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
-        bits = bits + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bits
-
-
 def _table_buckets(vec_col, tables: list[list[list[float]]]):
     """All tables' buckets in ONE expression: an ``array<long>`` with entry
     t = table t's sign-sketch of the vector.

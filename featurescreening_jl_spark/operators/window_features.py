@@ -29,8 +29,29 @@ __all__ = [
     "with_lag_lead",
     "sessionize",
     "turn_features",
+    "turn_sample_id",
     "conversation_aggregates",
 ]
+
+
+def turn_sample_id(conv_id="conv_id", turn_idx="turn_idx"):
+    """THE canonical per-turn sample id: a portable 60-bit hash of the
+    joint ``conv_id:turn_idx`` key string.
+
+    Single definition shared by the flagship pipeline
+    (``__spark_entry__``) and the CLI job (``jobs/screen_job.py``) so the
+    two paths cannot drift (round 2 had the CLI on an additive
+    ``xxhash64(conv_id) + turn_idx`` form, which both diverged from the
+    oracle-checked path and admits cross-key collisions:
+    ``hash(a) + i == hash(b) + j``). Hashing the delimited joint string
+    rules the additive collision class out, and the md5-based
+    ``hash60_portable`` keeps ids reproducible by external engines
+    (DuckDB oracle)."""
+    from featurescreening_jl_spark.operators.dedup import hash60_portable
+
+    return hash60_portable(
+        F.concat_ws(":", F.col(conv_id), F.col(turn_idx).cast("string"))
+    )
 
 
 def turn_order_window(

@@ -151,8 +151,17 @@ class RoundCheckpoint:
         from featurescreening_jl_spark.frame import FeatureFrame
         from featurescreening_jl_spark.sources.iceberg import iceberg_active
 
+        # Prefer the Iceberg snapshot, but only if this round's table
+        # actually exists: a checkpoint written before the catalog was
+        # configured (parquet-only rounds) must stay resumable after the
+        # Iceberg jar is installed — the parquet round dir is the source
+        # of truth for those rounds.
         if iceberg_active(spark):
-            return FeatureFrame.load(
-                spark, f"graft.{self.iceberg_namespace}.round_{i:04d}_data"
-            )
+            table = f"graft.{self.iceberg_namespace}.round_{i:04d}_data"
+            try:
+                exists = spark.catalog.tableExists(table)
+            except Exception:  # unregistered catalog → same as no table
+                exists = False
+            if exists:
+                return FeatureFrame.load(spark, table)
         return FeatureFrame.load(spark, os.path.join(self._round_dir(i), "data"))

@@ -43,12 +43,21 @@ def load_hdf5(
     names_key: str = "names",
     features_key: str = "features",
     num_partitions: Optional[int] = None,
+    orientation: str = "auto",
 ) -> FeatureFrame:
     """Read a reference-style HDF5 feature set into a FeatureFrame.
 
     Driver-side read (HDF5 is not splittable); the resulting frame is
     distributed via ``FeatureFrame.from_arrays``. Dataset keys are
     configurable because FeatureSets.jl file layouts vary by version.
+
+    ``orientation`` declares the stored matrix layout:
+    ``"samples"`` — samples×features (row-major dump), used as-is;
+    ``"features"`` — features×samples (column-major Julia dump), transposed;
+    ``"auto"`` — inferred from the shape, raising on a SQUARE matrix where
+    both readings are consistent (a silent guess would load a Julia-written
+    square feature set transposed). A shape matching neither orientation
+    raises immediately with both expected shapes spelled out.
     """
     h5py = _h5py()
     with h5py.File(path, "r") as f:
@@ -61,8 +70,43 @@ def load_hdf5(
             for v in f[names_key][()]
         ]
         X = f[features_key][()]
-    if X.shape == (len(names), len(labels)) and len(names) != len(labels):
-        X = X.T  # column-major Julia dump: stored features×samples
+    n_samples, n_features = len(labels), len(names)
+    by_samples = X.shape == (n_samples, n_features)
+    by_features = X.shape == (n_features, n_samples)
+    if not by_samples and not by_features:
+        raise ValueError(
+            f"HDF5 feature matrix {features_key!r} has shape {X.shape}, "
+            f"matching neither samples×features {(n_samples, n_features)} "
+            f"nor features×samples {(n_features, n_samples)} implied by "
+            f"{labels_key!r}/{names_key!r}"
+        )
+    if orientation == "auto":
+        if by_samples and by_features:
+            raise ValueError(
+                f"HDF5 feature matrix is square ({X.shape}): orientation "
+                "cannot be inferred — pass orientation='samples' or "
+                "'features' explicitly"
+            )
+        if by_features:
+            X = X.T  # column-major Julia dump: stored features×samples
+    elif orientation == "features":
+        if not by_features:
+            raise ValueError(
+                f"orientation='features' expects shape "
+                f"{(n_features, n_samples)}, got {X.shape}"
+            )
+        X = X.T
+    elif orientation == "samples":
+        if not by_samples:
+            raise ValueError(
+                f"orientation='samples' expects shape "
+                f"{(n_samples, n_features)}, got {X.shape}"
+            )
+    else:
+        raise ValueError(
+            f"unknown orientation {orientation!r} "
+            "(expected 'auto', 'samples', or 'features')"
+        )
     return FeatureFrame.from_arrays(
         spark, labels, names, X, num_partitions=num_partitions
     )

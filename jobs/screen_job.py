@@ -83,6 +83,7 @@ def main(argv=None) -> None:
         from featurescreening_jl_spark.operators.window_features import (
             TURN_FEATURE_COLS,
             turn_features,
+            turn_sample_id,
         )
 
         raw = (
@@ -90,8 +91,10 @@ def main(argv=None) -> None:
             if "/" in args.input
             else spark.table(args.input)
         )
+        # sample_id: the canonical shared definition (turn_sample_id) —
+        # byte-identical to the flagship pipeline's oracle-checked ids.
         feats = turn_features(raw, gap_seconds=args.sessionize_gap).select(
-            (F.xxhash64("conv_id") + F.col("turn_idx")).alias("sample_id"),
+            turn_sample_id().alias("sample_id"),
             F.when(F.col("label_next_is_tool") > 0, "tool")
             .otherwise("no_tool")
             .alias("label"),

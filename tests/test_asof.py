@@ -140,6 +140,61 @@ class TestCrossStrategyAgreement:
             )
 
 
+class TestMegaKey:
+    def test_single_mega_key_bucketed_correct(self, spark):
+        """One key holding ~all rows of the corpus — salting can NOT split
+        a single key (all its rows share hash(key) % salt), so the pandas
+        group bound is the hottest key's rows per ``bucket_seconds``.
+        Verifies (a) correctness vs the window strategy under that stress
+        and (b) the docstring's bound: shrinking bucket_seconds shrinks
+        the worst-case cogroup."""
+        n = 3000
+        # mega-key rows 1 second apart → with bucket_seconds=60 each
+        # bucket holds ≤60 of the mega-key's rows; with 10^6 all 3000
+        # land in one group
+        rows = spark.range(n).select(
+            F.lit("mega").alias("k"),
+            F.timestamp_seconds(1735689600 + F.col("id")).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        other = spark.range(5).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            F.timestamp_seconds(1735689600 + F.col("id") * 37).alias("ts"),
+            F.lit(-1.0).alias("v"),
+        )
+        sources = rows.unionByName(other)
+        queries = sources.select(
+            "k", (F.col("ts") + F.expr("INTERVAL 1 SECOND")).alias("ts")
+        )
+        ref = (
+            asof_join(queries, sources, on="ts", by="k", value_cols=["v"],
+                      strategy="window")
+            .orderBy("k", "ts").toPandas().reset_index(drop=True)
+        )
+        for bucket_seconds in (60, 10**6):
+            got = (
+                asof_join(queries, sources, on="ts", by="k",
+                          value_cols=["v"], strategy="bucketed",
+                          bucket_seconds=bucket_seconds, salt_buckets=8)
+                .orderBy("k", "ts").toPandas().reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(ref, got, check_dtype=False)
+        # the documented bound: max rows of any (salt, bucket) cogroup
+        from pyspark.sql.functions import xxhash64
+
+        def max_group(bucket_seconds):
+            return (
+                sources.groupBy(
+                    (xxhash64("k") % 8),
+                    (F.unix_timestamp("ts") / bucket_seconds).cast("long"),
+                )
+                .count().agg(F.max("count")).first()[0]
+            )
+
+        assert max_group(60) <= 60
+        assert max_group(10**6) >= n  # salting alone cannot split a key
+
+
 class TestZeroLeakage:
     @pytest.mark.parametrize("strategy", STRATEGIES)
     def test_poison_row_does_not_change_earlier_cutoffs(self, spark, strategy):

@@ -78,3 +78,21 @@ class TestCheckpoint:
     def test_resume_requires_checkpoint(self, feature_frame):
         with pytest.raises(ValueError):
             screen(feature_frame, resume_from="/nope", show_progress=False)
+
+    def test_round_frame_parquet_fallback_when_iceberg_table_missing(
+        self, feature_frame, tmp_path, spark, monkeypatch
+    ):
+        """A checkpoint written BEFORE the Iceberg catalog was configured
+        (parquet-only rounds) must stay resumable after the jar arrives:
+        round_frame falls back to the parquet round dir when the round's
+        Iceberg table does not exist."""
+        import featurescreening_jl_spark.sources.iceberg as iceberg_mod
+
+        root = str(tmp_path / "ckpt4")
+        ckpt = RoundCheckpoint(root)
+        _run(feature_frame, ckpt=ckpt)  # parquet-only rounds
+
+        # simulate a later session WITH the catalog active; no such table
+        monkeypatch.setattr(iceberg_mod, "iceberg_active", lambda s: True)
+        restored = ckpt.round_frame(spark, 3)
+        assert restored.count() == 25

@@ -232,6 +232,55 @@ class TestConnectedComponents:
         assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
                       20: 20, 21: 20, 22: 20}
 
+    def test_star_matches_minlabel(self, spark):
+        from featurescreening_jl_spark.operators.graph import (
+            connected_components,
+        )
+
+        # deterministic pseudo-random graph: 80 edges over 60 nodes
+        pairs = spark.range(80).select(
+            ((F.col("id") * 7919 + 13) % 60).alias("id_a"),
+            ((F.col("id") * 104729 + 7) % 60).alias("id_b"),
+        ).where(F.col("id_a") != F.col("id_b"))
+        a = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        b = {
+            r["id"]: r["component"]
+            for r in connected_components(pairs, algorithm="star").collect()
+        }
+        assert a == b
+
+    def test_star_long_chain_converges_in_log_rounds(self, spark):
+        # 1000-node path graph: diameter 999. min-label needs one round
+        # per hop (hits any sane cap); large-star/small-star halves chain
+        # length per round and converges in ~log2(n) rounds.
+        from featurescreening_jl_spark.operators.graph import (
+            connected_components,
+        )
+
+        n = 1000
+        pairs = spark.range(n - 1).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, max_iterations=15)
+        cc = connected_components(
+            pairs, algorithm="star", max_iterations=15
+        ).toPandas()
+        assert len(cc) == n
+        assert (cc["component"] == 0).all()
+
+    def test_star_rejects_unknown_algorithm(self, spark):
+        from featurescreening_jl_spark.operators.graph import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(ValueError, match="algorithm"):
+            connected_components(pairs, algorithm="bogus")
+
     def test_transitive_minhash_dedup_keeps_one_per_chain(self, spark):
         # A~B and B~C near-dup (but A vs C just below threshold): greedy
         # drops B and C's pair-losers only; transitive keeps exactly A.
@@ -315,6 +364,84 @@ class TestBucketCap:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         pairs = minhash_lsh_pairs(df, jaccard_threshold=0.5).toPandas()
         assert len(pairs) == 15  # all 6-choose-2 exact-dup pairs
+
+    def test_cap_leaves_no_cached_tables(self, spark):
+        # round-2 regression: _cap_buckets persisted the sized keys and
+        # never unpersisted — every capped call leaked executor cache for
+        # the session's lifetime. The agg+anti-join form caches nothing.
+        rows = [(i, "same boring boilerplate text repeated verbatim here")
+                for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        minhash_lsh_pairs(
+            df, jaccard_threshold=0.5, shingle_n=2, max_bucket_size=5
+        ).count()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        # no NEW cached tables (<=: the ContextCleaner may concurrently
+        # release earlier tests' localCheckpoint RDDs, shrinking the set)
+        assert after <= before
+
+
+class TestHotShingleCap:
+    def test_hot_shingle_capped_and_logged(self, spark, caplog):
+        import logging
+
+        from featurescreening_jl_spark.operators.dedup import (
+            ngram_jaccard_pairs_indexed,
+        )
+
+        # every doc carries the same boilerplate bigrams (df = 22 ≫ cap);
+        # docs 100/101 additionally share genuine content bigrams
+        boiler = "standard legal disclaimer footer"
+        rows = [(i, f"unique{i} token{i} filler{i} {boiler}")
+                for i in range(20)]
+        rows += [(100, f"alpha beta gamma delta {boiler}"),
+                 (101, f"alpha beta gamma echo {boiler}")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        with caplog.at_level(
+            logging.WARNING,
+            logger="featurescreening_jl_spark.operators.dedup",
+        ):
+            # threshold below the capped lower bound 2/12: docs 100/101
+            # share 2 uncapped bigrams of 7 each → capped jaccard ≈ 0.167
+            capped = ngram_jaccard_pairs_indexed(
+                df, shingle_n=2, threshold=0.1, max_shingle_df=5
+            ).toPandas()
+        assert any("capped" in r.message for r in caplog.records)
+        got = {(r.id_a, r.id_b) for r in capped.itertuples()}
+        # the real pair survives on its uncapped shared bigrams
+        assert (100, 101) in got
+        # boilerplate-only overlaps never materialize: no join rows exist
+        # for them once the hot shingles leave the index
+        assert not any(a < 100 and b < 100 for a, b in got)
+        # capped jaccard is a LOWER bound on the true value
+        full = ngram_jaccard_pairs(
+            df.where(F.col("doc_id").isin(100, 101)), shingle_n=2,
+            threshold=0.0,
+        ).toPandas()
+        capped_j = float(capped.set_index(["id_a", "id_b"])
+                         .loc[(100, 101), "jaccard"])
+        true_j = float(full["jaccard"].iloc[0])
+        assert capped_j <= true_j + 1e-12
+
+    def test_uncapped_unchanged(self, spark, documents):
+        # max_shingle_df=None keeps the operator byte-exact vs cross join
+        # (covered by TestNgramJaccardIndexed); here: a generous cap that
+        # never triggers must also be a no-op
+        from featurescreening_jl_spark.operators.dedup import (
+            ngram_jaccard_pairs_indexed,
+        )
+
+        docs = documents.where(F.col("doc_id") < 80)
+        a = ngram_jaccard_pairs_indexed(docs, threshold=0.25).toPandas()
+        b = ngram_jaccard_pairs_indexed(
+            docs, threshold=0.25, max_shingle_df=10**9
+        ).toPandas()
+        key = lambda p: sorted(
+            (int(r.id_a), int(r.id_b), round(float(r.jaccard), 9))
+            for r in p.itertuples()
+        )
+        assert key(a) == key(b)
 
 
 class TestNgramJaccardIndexed:

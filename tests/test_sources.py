@@ -135,3 +135,122 @@ class TestCliNoiseInjection:
         # the informative real feature survives; noise columns don't
         assert "3" in feat_cols
         assert not any(c.startswith("rnd_") for c in feat_cols)
+
+
+class TestSampleIdUnification:
+    def test_cli_job_ids_match_flagship_ids(self, spark, tmp_path):
+        """The CLI --from-transcripts path and the flagship pipeline must
+        derive byte-identical sample_ids from the same transcripts (round
+        2 had the CLI on a collision-prone additive hash)."""
+        from featurescreening_jl_spark.operators.window_features import (
+            turn_features,
+            turn_sample_id,
+        )
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+        from jobs.screen_job import main
+
+        tr = synthetic_transcripts(spark, n_conversations=12, seed=3,
+                                   heavy_every=0)
+        inp = str(tmp_path / "transcripts.parquet")
+        outp = str(tmp_path / "screened.parquet")
+        tr.write.parquet(inp)
+
+        main([
+            "--input", inp, "--output", outp, "--from-transcripts",
+            "--reduced-size", "2", "--step-size", "3",
+            "--n-trees", "10", "--max-depth", "4",
+            "--min-samples-leaf", "2", "--min-samples-split", "4",
+            "--random-seed", "1", "--verbosity", "0",
+        ])
+        job_ids = set(
+            r["sample_id"]
+            for r in spark.read.parquet(outp).select("sample_id").collect()
+        )
+        expected_ids = set(
+            r["sid"]
+            for r in turn_features(spark.read.parquet(inp))
+            .select(turn_sample_id().alias("sid"))
+            .collect()
+        )
+        assert job_ids == expected_ids
+        assert len(job_ids) == len(expected_ids)  # and collision-free
+
+    def test_joint_hash_not_additive(self, spark):
+        # the additive form collides whenever hash(a)+i == hash(b)+j; the
+        # joint-string hash must differ from it and be injective on a
+        # crafted additive-collision pair
+        from pyspark.sql import functions as F
+
+        from featurescreening_jl_spark.operators.window_features import (
+            turn_sample_id,
+        )
+
+        df = spark.createDataFrame(
+            [("conv_x", 0), ("conv_x", 1)], "conv_id string, turn_idx long"
+        )
+        ids = [r["sid"] for r in df.select(
+            turn_sample_id().alias("sid")).collect()]
+        assert ids[0] != ids[1]
+        additive = [r["a"] for r in df.select(
+            (F.xxhash64("conv_id") + F.col("turn_idx")).alias("a")).collect()]
+        # additive ids are consecutive by construction; joint-hash ids are not
+        assert abs(additive[1] - additive[0]) == 1
+        assert abs(ids[1] - ids[0]) != 1
+
+
+class TestHdf5Orientation:
+    @pytest.fixture()
+    def h5py(self):
+        return pytest.importorskip("h5py")
+
+    def _write(self, h5py, path, labels, names, X):
+        with h5py.File(path, "w") as f:
+            f.create_dataset("labels", data=[s.encode() for s in labels])
+            f.create_dataset("names", data=[s.encode() for s in names])
+            f.create_dataset("features", data=X)
+
+    def test_square_auto_raises(self, spark, tmp_path, h5py):
+        from featurescreening_jl_spark import load_hdf5
+
+        path = str(tmp_path / "sq.h5")
+        self._write(h5py, path, ["a", "b"], ["f1", "f2"],
+                    np.array([[1.0, 2.0], [3.0, 4.0]]))
+        with pytest.raises(ValueError, match="square"):
+            load_hdf5(spark, path)
+
+    def test_square_explicit_orientations(self, spark, tmp_path, h5py):
+        from featurescreening_jl_spark import load_hdf5
+
+        path = str(tmp_path / "sq.h5")
+        X = np.array([[1.0, 2.0], [3.0, 4.0]])
+        self._write(h5py, path, ["a", "b"], ["f1", "f2"], X)
+        by_samples = load_hdf5(spark, path, orientation="samples")
+        assert by_samples.to_pandas()[["f1", "f2"]].to_numpy().tolist() == [
+            [1.0, 2.0], [3.0, 4.0]]
+        by_features = load_hdf5(spark, path, orientation="features")
+        assert by_features.to_pandas()[["f1", "f2"]].to_numpy().tolist() == [
+            [1.0, 3.0], [2.0, 4.0]]
+
+    def test_julia_column_major_auto_transposed(self, spark, tmp_path, h5py):
+        from featurescreening_jl_spark import load_hdf5
+
+        path = str(tmp_path / "jl.h5")
+        # 2 features × 3 samples (non-square) → auto transposes
+        self._write(h5py, path, ["a", "b", "c"], ["f1", "f2"],
+                    np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]]))
+        ff = load_hdf5(spark, path)
+        assert ff.to_pandas()[["f1", "f2"]].to_numpy().tolist() == [
+            [1.0, 4.0], [2.0, 5.0], [3.0, 6.0]]
+
+    def test_mismatched_shape_raises(self, spark, tmp_path, h5py):
+        from featurescreening_jl_spark import load_hdf5
+
+        path = str(tmp_path / "bad.h5")
+        self._write(h5py, path, ["a", "b", "c"], ["f1", "f2"],
+                    np.ones((4, 4)))
+        with pytest.raises(ValueError, match="neither"):
+            load_hdf5(spark, path)
+        with pytest.raises(ValueError, match="orientation"):
+            load_hdf5(spark, path, orientation="sideways")

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from featurescreening_jl_spark.plans.session import get_spark
 from featurescreening_jl_spark import FeatureFrame, screen
 from featurescreening_jl_spark.operators.window_features import (
-    TURN_FEATURE_COLS, turn_features,
+    TURN_FEATURE_COLS, turn_features, turn_sample_id,
 )
 
 parallelism = {parallelism}
@@ -55,7 +55,7 @@ def run_once():
     # keep_text=False: the raw text column (~10× the feature row width)
     # never enters the window shuffle — the same change a 100 TB run needs
     feats = turn_features(transcripts, keep_text=False).select(
-        (F.xxhash64("conv_id") + F.col("turn_idx")).alias("sample_id"),
+        turn_sample_id().alias("sample_id"),
         F.when(F.col("label_next_is_tool") > 0, "tool").otherwise("no_tool")
             .alias("label"),
         *[F.col(c) for c in TURN_FEATURE_COLS],
