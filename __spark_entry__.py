@@ -543,6 +543,41 @@ def q_lsh_topk(spark, sf):
     )
 
 
+def q_ivf_topk(spark, sf):
+    # IVF ANN (the FAISS-style second scale path next to sign-LSH). Oracle
+    # = brute-force exact top-5 per query over the SAME synthesized union
+    # as q_lsh_topk: 4 constant-shifted copies per query vector (cosine
+    # ≈ 0.9957..0.9997, strictly ordered) plus the query itself. The
+    # probed cells (query's own top-n_probe) contain the whole true
+    # neighborhood at these params — verified deterministic across SFs —
+    # so IVF output must EQUAL the exact result; a recall regression, a
+    # broken cell assignment, or a probe-ordering bug all fail the check.
+    # Probabilistic recall on non-synthetic data: tests/test_ivf.py.
+    from featurescreening_jl_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base4 = emb.where(F.col("vec_id") < 4)
+    copies = None
+    for j, c in enumerate((0.003, 0.006, 0.009, 0.012)):
+        cp = base4.select(
+            (F.col("vec_id") + 1000 * (j + 1)).alias("vec_id"),
+            F.expr(f"transform(embedding, x -> x + {c}D)").alias("embedding"),
+        )
+        copies = cp if copies is None else copies.unionByName(cp)
+    corpus = emb.unionByName(copies)
+    queries_df = base4.select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = train_centroids(corpus, 8, seed=42, n_iter=10)
+    out = ivf_topk(
+        corpus, queries_df, k=5, dim=64, centroids=cents, n_probe=3
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("similarity", 4).alias("similarity"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_cosine_neardup(spark, sf):
     # The round-1 version returned 0 rows on this corpus (max off-diagonal
     # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
@@ -778,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_star": q_dedup_cc_star,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1236,6 +1272,31 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE bit_count(xor(a.sim, b.sim)) <= 8
         """,
         "lsh_topk": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                         FROM embeddings),
+            b4 AS (SELECT vec_id, e FROM emb WHERE vec_id < 4),
+            u AS (
+              SELECT vec_id, e FROM emb
+              UNION ALL SELECT vec_id + 1000,
+                               list_transform(e, x -> x + 0.003) FROM b4
+              UNION ALL SELECT vec_id + 2000,
+                               list_transform(e, x -> x + 0.006) FROM b4
+              UNION ALL SELECT vec_id + 3000,
+                               list_transform(e, x -> x + 0.009) FROM b4
+              UNION ALL SELECT vec_id + 4000,
+                               list_transform(e, x -> x + 0.012) FROM b4
+            )
+            SELECT query_id, vec_id, similarity, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(list_cosine_similarity(c.e, q.e), 4) AS similarity,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.e, q.e) DESC,
+                                c.vec_id ASC) AS rank
+              FROM u c, b4 q
+            ) WHERE rank <= 5
+        """,
+        "ivf_topk": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e
                          FROM embeddings),
             b4 AS (SELECT vec_id, e FROM emb WHERE vec_id < 4),

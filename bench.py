@@ -63,6 +63,7 @@ HEADLINE = [
     "cosine_neardup",
     "media_frame_sample",
     "dedup_cc_star",
+    "ivf_topk",
 ]
 
 
