@@ -578,6 +578,56 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_hash_split(spark, sf):
+    # Deterministic train/val/test assignment — oracle reproduces the
+    # portable md5→unit-interval arithmetic, so EXACT per-row membership
+    # is checked, not proportions. Weights are binary-exact (0.75/0.125)
+    # so Spark's cumulative-double thresholds equal DuckDB's literals.
+    from featurescreening_jl_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf, "documents")
+    return hash_split(
+        docs, {"train": 0.75, "val": 0.125, "test": 0.125}, key_col="doc_id"
+    ).select("doc_id", "split")
+
+
+def q_stratified_sample(spark, sf):
+    # Per-language keep fractions (downsample the head language, keep the
+    # tail) — the oracle checks the exact surviving row set.
+    from featurescreening_jl_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(
+        docs, {"en": 0.5, "de": 1.0}, strata_col="lang", key_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+def q_per_key_cap(spark, sf):
+    # Quota sampling: newest 3 events per user (ties broken by event_id —
+    # a total order, so the kept set is unique and oracle-checkable).
+    from featurescreening_jl_spark.operators.sampling import per_key_cap
+
+    ev = _t(spark, sf, "events")
+    return per_key_cap(
+        ev, ["user_id"], 3,
+        order_by=[F.desc("ts"), F.asc("event_id")], keep_rank="rk",
+    ).select("event_id", "user_id", F.col("rk").cast("long").alias("rk"))
+
+
+def q_weighted_mix(spark, sf):
+    # Two sources mixed at different keep fractions with provenance tags;
+    # per-source coin streams (name is hashed with the key), fraction 0.5
+    # is binary-exact for the oracle comparison.
+    from featurescreening_jl_spark.operators.sampling import weighted_mix
+
+    docs = _t(spark, sf, "documents")
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+    return weighted_mix(
+        [("even", evens, 1.0), ("odd", odds, 0.5)], key_col="doc_id"
+    ).select("doc_id", "source_name")
+
+
 def q_cosine_neardup(spark, sf):
     # The round-1 version returned 0 rows on this corpus (max off-diagonal
     # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
@@ -814,6 +864,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
+        "per_key_cap": q_per_key_cap,
+        "weighted_mix": q_weighted_mix,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1320,6 +1374,48 @@ def _oracle_sql_base() -> dict[str, str]:
                                 c.vec_id ASC) AS rank
               FROM u c, b4 q
             ) WHERE rank <= 5
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.75::DOUBLE THEN 'train'
+                        WHEN u < 0.875::DOUBLE THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                         ::BIGINT / 1152921504606846976.0 AS u
+              FROM documents
+            )
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                         ::BIGINT / 1152921504606846976.0 AS u
+              FROM documents
+            )
+            WHERE u < CASE lang WHEN 'en' THEN 0.5::DOUBLE
+                                WHEN 'de' THEN 1.0::DOUBLE
+                                ELSE 0.0::DOUBLE END
+        """,
+        "per_key_cap": """
+            SELECT event_id, user_id, rk FROM (
+              SELECT event_id, user_id,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id ASC) AS rk
+              FROM events
+            ) WHERE rk <= 3
+        """,
+        "weighted_mix": """
+            SELECT doc_id, 'even' AS source_name
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT doc_id, 'odd' AS source_name
+            FROM documents
+            WHERE doc_id % 2 = 1
+              AND ('0x' || substr(md5('42:odd|' || doc_id::VARCHAR), 1, 15))
+                      ::BIGINT / 1152921504606846976.0 < 0.5::DOUBLE
         """,
         "cosine_neardup": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -64,6 +64,10 @@ HEADLINE = [
     "media_frame_sample",
     "dedup_cc_star",
     "ivf_topk",
+    "hash_split",
+    "stratified_sample",
+    "per_key_cap",
+    "weighted_mix",
 ]
 
 

@@ -1,0 +1,184 @@
+"""Deterministic sampling / splitting / mixing for training-data pipelines.
+
+The three dataset-assembly operations every large-scale training corpus
+build needs, expressed so the SAME rows are selected no matter the cluster
+size, partitioning, or execution order:
+
+- ``hash_split``        — train/val/test assignment from a portable hash
+  of each row's key. Spark's ``rand(seed)`` is partition-index-dependent
+  (the same row can change split when the input is repartitioned or the
+  cluster is resized — silent leakage between train and test across
+  reruns); a key hash is a pure per-row function, reproducible by any
+  engine, any layout, any scale.
+- ``stratified_sample`` — per-stratum keep fractions (e.g. downsample
+  English to 10%, keep low-resource languages whole) with the same
+  hash-uniform, so a re-run at 4× executors keeps the identical rows.
+- ``per_key_cap``       — at most ``n`` rows per key in a deterministic
+  order (quota sampling: cap documents per domain, turns per
+  conversation, examples per label).
+- ``weighted_mix``      — assemble one corpus from several sources at
+  given keep fractions, tagging provenance.
+
+All pure codegen expressions (portable md5-based hash → unit interval);
+no UDFs, no RNG state, no actions. Every operator is DuckDB-reproducible,
+which is what lets the driver oracle-check exact row membership, not just
+counts.
+
+Scale notes: ``hash_split`` / ``stratified_sample`` / ``weighted_mix``
+are map-only (no shuffle — filters and projections over the scan);
+``per_key_cap`` shuffles once on the key (the cap is per-key global, so a
+shuffle is semantically required); a hot key concentrates its rows in one
+partition — cap first on coarse keys or pre-aggregate if a single key can
+exceed a partition's memory.
+
+Reference scope: FeatureScreening.jl's only sampling is the RNG feature
+shuffle inside ``screen`` (reference ``src/FeatureScreening.jl``); these
+dataset-level operators are part of the LLM-training-data graft layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.dedup import hash60_portable
+
+__all__ = [
+    "hash_unit",
+    "hash_split",
+    "stratified_sample",
+    "per_key_cap",
+    "weighted_mix",
+]
+
+# 2^60 — hash60_portable's range; division lands in [0, 1).
+_HASH_RANGE = float(1 << 60)
+
+
+def hash_unit(key: Column, seed: int = 42) -> Column:
+    """Uniform double in [0, 1) from a portable hash of ``seed:key``.
+
+    DuckDB-reproducible:
+    ``('0x' || substr(md5(seed || ':' || key), 1, 15))::BIGINT
+    / 1152921504606846976.0`` — the contract the driver oracles verify.
+    Different ``seed`` values give independent assignments (the seed is
+    hashed with the key, not added after).
+    """
+    joint = F.concat_ws(":", F.lit(str(seed)), key.cast("string"))
+    return hash60_portable(joint) / F.lit(_HASH_RANGE)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    key_col: str,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by cumulative hash-unit ranges.
+
+    ``weights`` maps split name -> weight (normalized internally; ORDER
+    of insertion defines the ranges, so pass a plain dict — Python dicts
+    preserve order). Rows with equal keys always land in the same split,
+    making the key the leakage boundary: split on ``conv_id`` and a
+    conversation can never straddle train/test.
+    """
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("hash_split: weights must sum to a positive value")
+    u = hash_unit(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strata_col: str,
+    key_col: str,
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep a per-stratum hash-deterministic fraction of rows.
+
+    ``fractions`` maps stratum value -> keep fraction in [0, 1]; strata
+    not listed keep ``default_fraction`` (0 = drop, 1 = keep whole).
+    Unlike ``DataFrame.sampleBy`` (Bernoulli on a partition-seeded RNG —
+    different rows on every layout), re-running at any cluster size keeps
+    the IDENTICAL rows, so downstream caches/joins stay consistent.
+    """
+    u = hash_unit(F.col(key_col), seed)
+    frac = None
+    for value, f in fractions.items():
+        cond = F.col(strata_col) == F.lit(value)
+        frac = F.when(cond, float(f)) if frac is None else frac.when(
+            cond, float(f)
+        )
+    frac = (
+        F.lit(float(default_fraction))
+        if frac is None
+        else frac.otherwise(float(default_fraction))
+    )
+    return df.where(u < frac)
+
+
+def per_key_cap(
+    df: DataFrame,
+    key_cols: list[str],
+    n: int,
+    *,
+    order_by: list[Column | str],
+    keep_rank: str | None = None,
+) -> DataFrame:
+    """At most ``n`` rows per key, taken in ``order_by`` order (quota
+    sampling). Pass a total order (tie-break on a unique column) for a
+    deterministic result. One shuffle on the key; see module scale notes
+    for the hot-key caveat."""
+    w = Window.partitionBy(*key_cols).orderBy(*order_by)
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    out = ranked.where(F.col("__rk") <= n)
+    if keep_rank is not None:
+        return out.withColumnRenamed("__rk", keep_rank)
+    return out.drop("__rk")
+
+
+def weighted_mix(
+    sources: list[tuple[str, DataFrame, float]],
+    *,
+    key_col: str,
+    seed: int = 42,
+    source_col: str = "source_name",
+) -> DataFrame:
+    """Assemble one corpus from ``(name, df, keep_fraction)`` sources:
+    each source is hash-downsampled to its fraction (per-source seed
+    stream: ``seed:name`` — the same key in two sources draws independent
+    coins) and tagged with ``source_col``. Columns are unioned by name;
+    every source must share a schema."""
+    if not sources:
+        raise ValueError("weighted_mix: at least one source required")
+    parts = []
+    for name, df, frac in sources:
+        u = hash_unit(
+            F.concat_ws("|", F.lit(name), F.col(key_col).cast("string")),
+            seed,
+        )
+        parts.append(
+            df.where(u < F.lit(float(frac))).withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1,0 +1,167 @@
+"""Deterministic sampling operators (operators/sampling.py).
+
+The load-bearing property everywhere: row membership is a pure function
+of (key, seed) — invariant to partitioning, cluster size, and execution
+order. Each test that matters for scale re-runs the operator on a
+repartitioned input and demands the IDENTICAL row set (``rand(seed)`` /
+``sampleBy`` would fail these).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.sampling import (
+    hash_split,
+    hash_unit,
+    per_key_cap,
+    stratified_sample,
+    weighted_mix,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") % 3).cast("string").alias("stratum"),
+    )
+    df.cache().count()
+    return df
+
+
+class TestHashUnit:
+    def test_range_and_determinism(self, keyed):
+        stats = keyed.select(
+            hash_unit(F.col("k"), 42).alias("u")
+        ).agg(
+            F.min("u").alias("lo"), F.max("u").alias("hi"),
+            F.avg("u").alias("mean"),
+        ).first()
+        assert 0.0 <= stats["lo"] and stats["hi"] < 1.0
+        assert abs(stats["mean"] - 0.5) < 0.02
+
+    def test_seeds_independent(self, keyed):
+        both = keyed.select(
+            hash_unit(F.col("k"), 1).alias("a"),
+            hash_unit(F.col("k"), 2).alias("b"),
+        )
+        corr = both.agg(F.corr("a", "b")).first()[0]
+        assert abs(corr) < 0.05
+
+
+class TestHashSplit:
+    WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def test_proportions_and_total(self, keyed):
+        out = hash_split(keyed, self.WEIGHTS, key_col="k")
+        rows = {r["split"]: r["count"] for r in
+                out.groupBy("split").count().collect()}
+        assert sum(rows.values()) == 10_000
+        assert abs(rows["train"] / 10_000 - 0.8) < 0.02
+        assert abs(rows["val"] / 10_000 - 0.1) < 0.01
+        assert abs(rows["test"] / 10_000 - 0.1) < 0.01
+
+    def test_stable_under_repartition(self, keyed):
+        a = hash_split(keyed, self.WEIGHTS, key_col="k").orderBy("k")
+        b = hash_split(
+            keyed.repartition(17), self.WEIGHTS, key_col="k"
+        ).orderBy("k")
+        assert [r["split"] for r in a.collect()] == [
+            r["split"] for r in b.collect()
+        ]
+
+    def test_same_key_same_split(self, keyed):
+        # split on grp (7 distinct values): every row of a grp shares a split
+        out = hash_split(keyed, self.WEIGHTS, key_col="grp")
+        n = out.groupBy("grp").agg(
+            F.countDistinct("split").alias("n")
+        ).agg(F.max("n")).first()[0]
+        assert n == 1
+
+    def test_map_only_plan(self, keyed):
+        plan = (
+            hash_split(keyed, self.WEIGHTS, key_col="k")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_bad_weights_raise(self, keyed):
+        with pytest.raises(ValueError, match="positive"):
+            hash_split(keyed, {"a": 0.0}, key_col="k")
+
+
+class TestStratifiedSample:
+    def test_fractions_per_stratum(self, keyed):
+        out = stratified_sample(
+            keyed, {"0": 0.5, "1": 1.0}, strata_col="stratum", key_col="k"
+        )
+        rows = {r["stratum"]: r["count"] for r in
+                out.groupBy("stratum").count().collect()}
+        assert "2" not in rows          # default_fraction=0 drops it
+        assert rows["1"] == 3333        # fraction 1.0 keeps the whole stratum
+        assert abs(rows["0"] / 3334 - 0.5) < 0.05
+
+    def test_stable_under_repartition(self, keyed):
+        a = stratified_sample(
+            keyed, {"0": 0.3}, strata_col="stratum", key_col="k"
+        )
+        b = stratified_sample(
+            keyed.repartition(23), {"0": 0.3}, strata_col="stratum",
+            key_col="k",
+        )
+        assert sorted(r["k"] for r in a.collect()) == sorted(
+            r["k"] for r in b.collect()
+        )
+
+
+class TestPerKeyCap:
+    def test_cap_and_order(self, keyed):
+        out = per_key_cap(
+            keyed, ["grp"], 5, order_by=[F.desc("k")], keep_rank="rk"
+        )
+        pdf = out.toPandas()
+        assert (pdf.groupby("grp").size() <= 5).all()
+        # order_by desc k → each grp keeps its 5 largest ids
+        top = pdf[pdf["grp"] == 0]["k"].sort_values().tolist()
+        expect = [k for k in range(10_000) if k % 7 == 0][-5:]
+        assert top == expect
+        assert set(pdf["rk"]) == {1, 2, 3, 4, 5}
+
+    def test_under_cap_keys_kept_whole(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1), (0, 2), (1, 3)], "key long, v long"
+        )
+        out = per_key_cap(df, ["key"], 10, order_by=["v"]).toPandas()
+        assert len(out) == 3
+
+
+class TestWeightedMix:
+    def test_mix_tags_and_fractions(self, keyed):
+        evens = keyed.where(F.col("k") % 2 == 0)
+        odds = keyed.where(F.col("k") % 2 == 1)
+        out = weighted_mix(
+            [("even", evens, 1.0), ("odd", odds, 0.5)], key_col="k"
+        )
+        rows = {r["source_name"]: r["count"] for r in
+                out.groupBy("source_name").count().collect()}
+        assert rows["even"] == 5000     # fraction 1.0 == whole source
+        assert abs(rows["odd"] / 5000 - 0.5) < 0.05
+
+    def test_per_source_coins_independent(self, keyed):
+        # the SAME key drawn through two source names must not reuse the coin
+        out = weighted_mix(
+            [("a", keyed, 0.5), ("b", keyed, 0.5)], key_col="k"
+        ).groupBy("k").count()
+        dist = {r["count"]: 1 for r in out.collect()}
+        # if coins were shared, every key appears 0 or 2 times — never 1
+        assert 1 in dist
+
+    def test_empty_raises(self):
+        with pytest.raises(ValueError, match="at least one"):
+            weighted_mix([], key_col="k")
