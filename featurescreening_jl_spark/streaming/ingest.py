@@ -33,6 +33,7 @@ __all__ = [
     "streaming_session_aggregates",
     "streaming_conversation_rates",
     "streaming_turn_state_features",
+    "streaming_dedup_turns",
 ]
 
 
@@ -177,6 +178,41 @@ def streaming_turn_state_features(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def streaming_dedup_turns(
+    stream: DataFrame,
+    *,
+    watermark: str = "2 hours",
+    by_content: bool = False,
+) -> DataFrame:
+    """Exactly-once turn materialization from an at-least-once source.
+
+    Every real ingestion bus (Kafka, file redelivery, job retries) can
+    deliver a turn twice; this keeps the FIRST arrival per identity key
+    ``(conv_id, turn_idx)`` — or, with ``by_content=True``, per exact
+    normalized-text fingerprint (the streaming twin of the batch
+    ``operators/dedup.dedup_exact``).
+
+    The load-bearing choice is ``dropDuplicatesWithinWatermark``: plain
+    ``dropDuplicates`` on a stream keeps EVERY key ever seen in the state
+    store — unbounded growth, the classic streaming-dedup OOM. Within-
+    watermark dedup evicts a key once event time passes its watermark, so
+    state tracks the redelivery horizon (duplicates arrive close to the
+    original in event time), not history. A duplicate later than the
+    watermark is not caught here — that is the batch dedup layer's job;
+    the two compose into the standard lambda arrangement.
+    """
+    wm = stream.withWatermark("ts", watermark)
+    if by_content:
+        keyed = wm.withColumn(
+            "__fp",
+            F.xxhash64(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ),
+        )
+        return keyed.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+    return wm.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
 
 def streaming_conversation_rates(

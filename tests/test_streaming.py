@@ -199,3 +199,57 @@ class TestStatefulTurnFeatures:
         assert (abs(got["time_since_prev"] - exp["time_since_prev"]) < 1e-6).all()
         full.unpersist()
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+class TestStreamingDedup:
+    """streaming_dedup_turns: exactly-once materialization from an
+    at-least-once source — every turn delivered twice must come out
+    once, matching the batch-distinct answer on the same files."""
+
+    @pytest.fixture(scope="class")
+    def dup_dir(self, spark, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("stream-dup") / "transcripts")
+        df = synthetic_transcripts(spark, 20, seed=5, heavy_every=0)
+        df.repartition(2).write.parquet(path)
+        # simulate redelivery: the whole feed arrives a second time
+        df.repartition(3).write.mode("append").parquet(path)
+        return path
+
+    def test_identity_dedup_matches_batch_distinct(self, spark, dup_dir):
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_dedup_turns,
+        )
+
+        out = _run_stream(
+            spark,
+            streaming_dedup_turns(read_transcript_stream(spark, dup_dir)),
+            "append",
+            "dedup_ident_tbl",
+        ).toPandas()
+        raw = spark.read.parquet(dup_dir)
+        n_raw = raw.count()
+        n_distinct = raw.select("conv_id", "turn_idx").distinct().count()
+        assert n_raw == 2 * n_distinct  # the fixture really doubled the feed
+        assert len(out) == n_distinct
+        assert out.duplicated(["conv_id", "turn_idx"]).sum() == 0
+
+    def test_content_dedup_matches_batch_distinct_text(self, spark, dup_dir):
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_dedup_turns,
+        )
+
+        out = _run_stream(
+            spark,
+            streaming_dedup_turns(
+                read_transcript_stream(spark, dup_dir), by_content=True
+            ),
+            "append",
+            "dedup_content_tbl",
+        ).toPandas()
+        norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        n_texts = (
+            spark.read.parquet(dup_dir).select(norm.alias("t")).distinct().count()
+        )
+        assert len(out) == n_texts
+        # the internal fingerprint column must not leak into the output
+        assert "__fp" not in out.columns
