@@ -578,6 +578,46 @@ def q_ivf_topk(spark, sf):
     )
 
 
+def q_trailing_time(spark, sf):
+    # Event-TIME trailing windows (range frames over exact epoch micros)
+    # — both the inclusive form and the strictly-before-now form that
+    # excludes same-timestamp peers (the leakage-safe variant).
+    from featurescreening_jl_spark.operators.window_features import (
+        trailing_time_features,
+        trailing_time_window,
+    )
+
+    t = _transcripts(spark, sf)
+    out = trailing_time_features(t, windows={"10m": 600})
+    strict = trailing_time_window(seconds=600, include_current=False)
+    return out.withColumn(
+        "turns_before_10m", F.count(F.lit(1)).over(strict)
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("turns_last_10m").cast("long").alias("turns_last_10m"),
+        F.col("tool_calls_last_10m").cast("long").alias("tool_calls_last_10m"),
+        F.col("chars_last_10m").cast("long").alias("chars_last_10m"),
+        F.col("turns_before_10m").cast("long").alias("turns_before_10m"),
+    )
+
+
+def q_tfidf_top_terms(spark, sf):
+    # Top characteristic terms per doc; tfidf rounded to 4 decimals (ln is
+    # libm-vs-JVM — last-ulp differences are sub-rounding).
+    from featurescreening_jl_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = _t(spark, sf, "documents")
+    out = tfidf_top_terms(docs, k=3)
+    return out.select(
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.round("tfidf", 4).alias("tfidf"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_hash_split(spark, sf):
     # Deterministic train/val/test assignment — oracle reproduces the
     # portable md5→unit-interval arithmetic, so EXACT per-row membership
@@ -864,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "trailing_time": q_trailing_time,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
         "per_key_cap": q_per_key_cap,
@@ -1374,6 +1416,48 @@ def _oracle_sql_base() -> dict[str, str]:
                                 c.vec_id ASC) AS rank
               FROM u c, b4 q
             ) WHERE rank <= 5
+        """,
+        "trailing_time": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL})
+            SELECT conv_id, turn_idx,
+                   (count(*) OVER win10)::BIGINT AS turns_last_10m,
+                   (sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                        OVER win10)::BIGINT AS tool_calls_last_10m,
+                   coalesce(sum(length(text)) OVER win10, 0)::BIGINT
+                       AS chars_last_10m,
+                   (count(*) OVER win10s)::BIGINT AS turns_before_10m
+            FROM t
+            WINDOW win10 AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                             RANGE BETWEEN 600000000 PRECEDING
+                                       AND CURRENT ROW),
+                   win10s AS (PARTITION BY conv_id ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 600000000 PRECEDING
+                                        AND 1 PRECEDING)
+        """,
+        "tfidf_top_terms": """
+            WITH terms AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM terms
+              WHERE length(term) >= 1 GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+            SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+                   tfidf, rank FROM (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     round(tf.tf * ln(n.n::DOUBLE / dfreq.df::DOUBLE), 4)
+                         AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY tf.tf * ln(n.n::DOUBLE / dfreq.df::DOUBLE)
+                                DESC, tf.term ASC) AS rank
+              FROM tf JOIN dfreq USING (term), n
+            ) WHERE rank <= 3
         """,
         "hash_split": """
             SELECT doc_id,

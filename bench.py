@@ -68,6 +68,8 @@ HEADLINE = [
     "stratified_sample",
     "per_key_cap",
     "weighted_mix",
+    "trailing_time",
+    "tfidf_top_terms",
 ]
 
 

@@ -7,7 +7,7 @@ they compose into a single projection over the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -17,6 +17,7 @@ __all__ = [
     "language_id",
     "fingerprint",
     "document_features",
+    "tfidf_top_terms",
 ]
 
 # tiny per-language stopword marker sets for the n-gram language heuristic
@@ -104,6 +105,63 @@ def fingerprint(text: Column, normalize: bool = True) -> Column:
     if normalize:
         t = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.xxhash64(t)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_term_len: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    tf = raw term count in the doc; idf = ln(N / df) with N = number of
+    documents and df = documents containing the term (plain idf — terms in
+    every doc score exactly 0 and self-eliminate from the top-k). Ties
+    break by term asc, so the result is a deterministic set.
+
+    Dataflow, sized for corpus scale — the text is TOKENIZED EXACTLY ONCE:
+    tokenize+explode is map-side; term frequencies aggregate per
+    (doc, term) with map-side partial combine BEFORE anything shuffles
+    (raw token occurrences never cross the wire); document frequencies
+    are a ``count() over (partition by term)`` window ON the tf table —
+    tf rows are unique per (doc, term), so the partition size IS df, and
+    expressing it as a window instead of a groupBy+self-join avoids
+    re-deriving (and re-tokenizing) the tf lineage a second time. N joins
+    in as a broadcast 1-row aggregate over just the id column (a pruned
+    scan, no Generate, no driver action). Top-k per doc is a window that
+    plans WindowGroupLimit (per-partition top-k pushdown before the final
+    shuffle).
+    """
+    term = F.explode(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    ).alias("term")
+    terms = df.select(F.col(id_col), term).where(
+        F.length("term") >= min_term_len
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
 
 
 def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:

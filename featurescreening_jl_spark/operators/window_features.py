@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurescreening_jl_spark.functions.time import epoch_seconds
+from featurescreening_jl_spark.functions.time import epoch_micros, epoch_seconds
 
 __all__ = [
     "turn_order_window",
@@ -31,6 +31,8 @@ __all__ = [
     "turn_features",
     "turn_sample_id",
     "conversation_aggregates",
+    "trailing_time_window",
+    "trailing_time_features",
 ]
 
 
@@ -104,6 +106,60 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn(out, F.sum(new_session).over(running) - F.lit(1))
+
+
+def trailing_time_window(
+    by: str = "conv_id",
+    ts_col: str = "ts",
+    seconds: int = 600,
+    include_current: bool = True,
+):
+    """Event-TIME trailing frame: all rows of the key whose timestamp lies
+    within ``seconds`` before the current row's (range frame), not the
+    trailing k ROWS — the difference matters whenever turn density varies
+    ("tool calls in the last 10 minutes" vs "in the last 5 turns").
+
+    Ordered by exact epoch MICROseconds so the boundary is integer-exact
+    (``epoch_seconds`` would truncate and mis-bucket sub-second gaps).
+    ``include_current=False`` ends the frame one microsecond before the
+    current row — the strictly-before-now form, which also excludes
+    same-timestamp peers: with an inclusive range frame ALL rows sharing
+    the current timestamp join the frame, so a same-instant sibling would
+    leak "now" into a feature that claims to predate it.
+    """
+    upper = 0 if include_current else -1
+    return (
+        Window.partitionBy(by)
+        .orderBy(epoch_micros(F.col(ts_col)))
+        .rangeBetween(-seconds * 1_000_000, upper)
+    )
+
+
+def trailing_time_features(
+    df: DataFrame,
+    windows: dict[str, int] | None = None,
+    by: str = "conv_id",
+    ts_col: str = "ts",
+    include_current: bool = True,
+) -> DataFrame:
+    """Per-row trailing time-window aggregates: for each named window
+    (name → seconds) adds ``turns_last_{name}``, ``tool_calls_last_
+    {name}``, ``chars_last_{name}``. One shuffle on ``by`` shared by
+    every frame (same partitioning + ordering ⇒ one Window exec node
+    chain, no extra exchanges)."""
+    windows = windows or {"5m": 300, "30m": 1800}
+    is_tool = F.when(F.col("tool").isNotNull(), 1).otherwise(0)
+    for name, secs in windows.items():
+        w = trailing_time_window(by, ts_col, secs, include_current)
+        df = (
+            df.withColumn(f"turns_last_{name}", F.count(F.lit(1)).over(w))
+            .withColumn(f"tool_calls_last_{name}", F.sum(is_tool).over(w))
+            .withColumn(
+                f"chars_last_{name}",
+                F.coalesce(F.sum(F.length("text")).over(w), F.lit(0)),
+            )
+        )
+    return df
 
 
 def turn_features(

@@ -142,3 +142,127 @@ class TestConversationAggregates:
         assert (pdf["n_sessions"] >= 1).all()
         total = transcripts.count()
         assert pdf["n_turns"].sum() == total
+
+
+class TestTrailingTimeWindows:
+    """Event-time range frames: hand-checkable golden on a tiny
+    conversation with a known time layout, plus the leakage property of
+    the strict (before-now) variant on same-timestamp peers."""
+
+    def _frame(self, spark):
+        # turns at t = 0s, 100s, 700s, 700s (same-instant pair), 1400s
+        rows = [
+            ("c", 0, "user", "aaaa", None, "2024-01-01 00:00:00"),
+            ("c", 1, "assistant", "bb", "bash", "2024-01-01 00:01:40"),
+            ("c", 2, "user", "cccc", None, "2024-01-01 00:11:40"),
+            ("c", 3, "tool", "d", "sql", "2024-01-01 00:11:40"),
+            ("c", 4, "user", "ee", None, "2024-01-01 00:23:20"),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+
+    def test_inclusive_golden(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            trailing_time_features,
+        )
+
+        out = (
+            trailing_time_features(self._frame(spark), windows={"10m": 600})
+            .orderBy("turn_idx")
+            .toPandas()
+        )
+        # 600s window: turn2/3 (t=700) are same-instant PEERS — a range
+        # frame includes all rows sharing the current order value, so BOTH
+        # see turn1 (t=100) plus each other; turn4 (t=1400) sees only
+        # itself (700 is exactly 700s back — outside the 600s frame)
+        assert out["turns_last_10m"].tolist() == [1, 2, 3, 3, 1]
+        assert out["tool_calls_last_10m"].tolist() == [0, 1, 2, 2, 0]
+        # chars: len sums over the same frames
+        assert out["chars_last_10m"].tolist() == [4, 6, 7, 7, 2]
+
+    def test_strict_excludes_now_and_peers(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            trailing_time_window,
+        )
+
+        strict = trailing_time_window(seconds=600, include_current=False)
+        out = (
+            self._frame(spark)
+            .withColumn("n_before", F.count(F.lit(1)).over(strict))
+            .orderBy("turn_idx")
+            .toPandas()
+        )
+        # same-instant pair (turns 2,3): NEITHER sees the other nor itself
+        assert out["n_before"].tolist() == [0, 1, 1, 1, 0]
+
+    def test_boundary_is_inclusive_at_exact_age(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            trailing_time_features,
+        )
+
+        # turn4 at t=1400 with a 700s window: t=700 is EXACTLY 700s old →
+        # inside the inclusive range frame
+        out = (
+            trailing_time_features(self._frame(spark), windows={"x": 700})
+            .orderBy("turn_idx")
+            .toPandas()
+        )
+        assert out["turns_last_x"].tolist()[-1] == 3
+
+
+class TestTfidfTopTerms:
+    def test_golden(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+        import math
+
+        docs = spark.createDataFrame(
+            [
+                (0, "apple apple banana"),
+                (1, "banana cherry"),
+                (2, "cherry cherry cherry date"),
+            ],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, k=2).orderBy("doc_id", "rank").toPandas()
+        by_doc = {d: g for d, g in out.groupby("doc_id")}
+        # doc0: apple tf=2 df=1 → 2*ln(3); banana tf=1 df=2 → ln(1.5)
+        r = by_doc[0].sort_values("rank")
+        assert r["term"].tolist() == ["apple", "banana"]
+        assert abs(r["tfidf"].iloc[0] - 2 * math.log(3)) < 1e-9
+        # doc2: cherry tf=3 df=2 → 3·ln(1.5)=1.216 beats date tf=1 df=1
+        # → ln(3)=1.099
+        r = by_doc[2].sort_values("rank")
+        assert r["term"].tolist() == ["cherry", "date"]
+        assert abs(r["tfidf"].iloc[0] - 3 * math.log(1.5)) < 1e-9
+
+    def test_everywhere_terms_score_zero(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "the apple"), (1, "the banana"), (2, "the cherry")],
+            "doc_id long, text string",
+        )
+        out = tfidf_top_terms(docs, k=5).toPandas()
+        the = out[out["term"] == "the"]
+        assert (the["tfidf"] == 0.0).all()  # ln(3/3) — self-eliminating
+
+    def test_no_python_udf(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            tfidf_top_terms,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "b c")], "doc_id long, text string"
+        )
+        plan = (
+            tfidf_top_terms(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
