@@ -618,6 +618,21 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+def q_winnow_fingerprints(spark, sf):
+    # MOSS winnowing (k=5-gram md5 hashes, window w=4 minima) — the oracle
+    # recomputes EVERY selected fingerprint value with DuckDB list
+    # functions, pinning gram hashing, window minima, and the short-text
+    # edge cases end-to-end.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
+    return winnow_fingerprints(docs, k=5, w=4).select(
+        "doc_id", F.explode("fingerprints").alias("fp")
+    )
+
+
 def q_hash_split(spark, sf):
     # Deterministic train/val/test assignment — oracle reproduces the
     # portable md5→unit-interval arithmetic, so EXACT per-row membership
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "trailing_time": q_trailing_time,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1458,6 +1474,31 @@ def _oracle_sql_base() -> dict[str, str]:
                                 DESC, tf.term ASC) AS rank
               FROM tf JOIN dfreq USING (term), n
             ) WHERE rank <= 3
+        """,
+        "winnow_fingerprints": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents WHERE doc_id < 200
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) >= 5 THEN
+                       list_transform(generate_series(1, length(t) - 4),
+                         i -> substr(md5(substr(t, i, 5)), 1, 15))
+                     ELSE []::VARCHAR[] END AS grams
+              FROM d
+            ),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 1 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(grams) - 3, 1)),
+                         j -> list_min(list_slice(grams, j, j + 3))))
+                     ELSE []::VARCHAR[] END AS fps
+              FROM g
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM f
         """,
         "hash_split": """
             SELECT doc_id,

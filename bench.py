@@ -70,6 +70,7 @@ HEADLINE = [
     "weighted_mix",
     "trailing_time",
     "tfidf_top_terms",
+    "winnow_fingerprints",
 ]
 
 

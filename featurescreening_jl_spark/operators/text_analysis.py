@@ -18,6 +18,8 @@ __all__ = [
     "fingerprint",
     "document_features",
     "tfidf_top_terms",
+    "winnow_fingerprints",
+    "winnow_candidate_pairs",
 ]
 
 # tiny per-language stopword marker sets for the n-gram language heuristic
@@ -161,6 +163,116 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every character ``k``-gram of the normalized
+    text, slide a window of ``w`` consecutive gram hashes, keep each
+    window's MINIMUM — the selected hash set is the fingerprint. The
+    guarantee: any shared substring of length ≥ ``w + k − 1`` between two
+    documents yields a shared fingerprint, so substring-level overlap is
+    detectable from a set ~1/w the size of the gram stream (the whole-text
+    ``fingerprint()`` above detects only exact-document duplicates).
+
+    Adds ``out_col``: a sorted, distinct ``array<string>`` of 15-hex-char
+    md5 prefixes. Entirely higher-order-function expressions over each
+    row — no UDF, no shuffle; per-row cost O(len·w). Fingerprints stay
+    STRINGS deliberately: fixed-width hex compares lexicographically ==
+    numerically, every engine reproduces ``substr(md5(x), 1, 15)``
+    byte-for-byte, and converting to BIGINT per gram (``conv``) measured
+    ~10× the cost of the md5 itself inside a higher-order lambda
+    (interpreted per element, not codegen).
+
+    Short-text edges (both deliberate, both oracle-pinned): text shorter
+    than ``k`` → empty fingerprint; fewer than ``w`` grams → one window
+    over all grams (min of what exists).
+    """
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_grams = F.length(t) - F.lit(k) + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def winnow(g):
+        # g is a LAMBDA VARIABLE bound to the computed gram array — NOT a
+        # column reference. Load-bearing: putting grams in a column and
+        # referencing it here lets CollapseProject (triggered e.g. by a
+        # downstream explode) inline the whole md5-gram expression into
+        # every per-window lambda element — measured O(len²) md5
+        # re-evaluation, ~1 s/row on 300-char docs. Binding through
+        # transform(array(grams), g -> …) makes per-element inlining
+        # structurally impossible: the array constructor evaluates once
+        # per row no matter what the optimizer collapses.
+        n_wins = F.greatest(F.size(g) - F.lit(w) + 1, F.lit(1))
+        return F.when(
+            F.size(g) >= 1,
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n_wins),
+                        lambda j: F.array_min(F.slice(g, j, w)),
+                    )
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    fps = F.element_at(F.transform(F.array(grams), winnow), 1)
+    return df.withColumn(out_col, fps)
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Substring-overlap candidate pairs: documents sharing ≥
+    ``min_shared`` winnow fingerprints, found by exploding fingerprints
+    and self-joining on the VALUE — bucketed like every other dedup join
+    here, never all-pairs. ``max_fp_df`` drops (and logs) fingerprints
+    shared by more than that many docs — boilerplate guards, mirroring
+    ``dedup._cap_buckets`` semantics (shared-count becomes a lower
+    bound, pairs are never falsely emitted above the cap)."""
+    fp = winnow_fingerprints(
+        df, k, w, id_col=id_col, text_col=text_col
+    ).select(id_col, F.explode("fingerprints").alias("fp"))
+    if max_fp_df is not None:
+        from featurescreening_jl_spark.operators.dedup import _cap_buckets
+
+        fp = _cap_buckets(fp, ["fp"], max_fp_df, "winnow_candidate_pairs")
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

@@ -266,3 +266,84 @@ class TestTfidfTopTerms:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BatchEvalPython" not in plan
+
+
+class TestWinnowFingerprints:
+    def test_golden_tiny(self, spark):
+        import hashlib
+
+        from featurescreening_jl_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        text = "abcdefgh"
+        k, w = 3, 2
+        docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = winnow_fingerprints(docs, k, w).first()["fingerprints"]
+        grams = [
+            hashlib.md5(text[i:i + k].encode()).hexdigest()[:15]
+            for i in range(len(text) - k + 1)
+        ]
+        expect = sorted({min(grams[j:j + w]) for j in range(len(grams) - w + 1)})
+        assert got == expect
+
+    def test_substring_guarantee(self, spark):
+        # any shared substring of length >= w+k-1 must yield a shared
+        # fingerprint (the winnowing paper's core property)
+        from featurescreening_jl_spark.operators.text_analysis import (
+            winnow_candidate_pairs,
+        )
+
+        shared = "the quick brown fox jumps over the lazy dog"
+        docs = spark.createDataFrame(
+            [
+                (0, f"unrelated prefix zero {shared} suffix aa"),
+                (1, f"completely different start {shared} other end bb"),
+                (2, "nothing in common with anything else here at all"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = winnow_candidate_pairs(docs, k=5, w=4).toPandas()
+        assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+        assert (0, 2) not in set(zip(pairs["id_a"], pairs["id_b"]))
+
+    def test_short_text_edges(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "ab"), (1, "abcde"), (2, "abcdef")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r["fingerprints"]
+            for r in winnow_fingerprints(docs, k=5, w=4).collect()
+        }
+        assert out[0] == []           # shorter than k -> no grams
+        assert len(out[1]) == 1       # exactly one gram -> one fingerprint
+        assert len(out[2]) == 1       # 2 grams < w -> single window min
+
+    def test_md5_not_reevaluated_per_window(self, spark):
+        # regression pin for the CollapseProject+lambda inlining trap: the
+        # exploded plan must evaluate the gram-array expression once per
+        # row (inside the array constructor), never per window element.
+        # Cheap proxy: 200 real docs complete in seconds, and the operator
+        # output under explode equals the unexploded array contents.
+        import time
+
+        from featurescreening_jl_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(100)
+        t0 = time.time()
+        n = (
+            winnow_fingerprints(docs, 5, 4)
+            .select(F.explode("fingerprints"))
+            .count()
+        )
+        assert n > 0
+        assert time.time() - t0 < 60  # O(len^2) form measured ~1 s/doc
