@@ -627,9 +627,15 @@ def q_winnow_fingerprints(spark, sf):
         winnow_fingerprints,
     )
 
+    # explode_outer + null filter, not explode — see winnow_candidate_pairs:
+    # InferFiltersFromGenerate would clone the whole winnow expression into
+    # a pre-projection Filter run on every input row (7× at this
+    # selectivity).
     docs = _t(spark, sf, "documents").where(F.col("doc_id") < 200)
-    return winnow_fingerprints(docs, k=5, w=4).select(
-        "doc_id", F.explode("fingerprints").alias("fp")
+    return (
+        winnow_fingerprints(docs, k=5, w=4)
+        .select("doc_id", F.explode_outer("fingerprints").alias("fp"))
+        .where(F.col("fp").isNotNull())
     )
 
 
