@@ -639,6 +639,21 @@ def q_winnow_fingerprints(spark, sf):
     )
 
 
+def q_winnow_pairs(spark, sf):
+    # Substring-overlap candidates: the oracle recomputes both docs'
+    # fingerprint SETS and intersects them (list_intersect == the distinct
+    # shared-fp count the groupBy produces), checking the bucketed join
+    # against a brute-force pairwise intersection.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        winnow_candidate_pairs,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 120)
+    return winnow_candidate_pairs(docs, k=5, w=4, min_shared=5).select(
+        "id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def q_hash_split(spark, sf):
     # Deterministic train/val/test assignment — oracle reproduces the
     # portable md5→unit-interval arithmetic, so EXACT per-row membership
@@ -927,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "trailing_time": q_trailing_time,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "winnow_pairs": q_winnow_pairs,
         "tfidf_top_terms": q_tfidf_top_terms,
         "hash_split": q_hash_split,
         "stratified_sample": q_stratified_sample,
@@ -1505,6 +1521,34 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM g
             )
             SELECT doc_id, unnest(fps) AS fp FROM f
+        """,
+        "winnow_pairs": """
+            WITH d AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents WHERE doc_id < 120
+            ),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN length(t) >= 5 THEN
+                       list_transform(generate_series(1, length(t) - 4),
+                         i -> substr(md5(substr(t, i, 5)), 1, 15))
+                     ELSE []::VARCHAR[] END AS grams
+              FROM d
+            ),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(grams) >= 1 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, greatest(len(grams) - 3, 1)),
+                         j -> list_min(list_slice(grams, j, j + 3))))
+                     ELSE []::VARCHAR[] END AS fps
+              FROM g
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   len(list_intersect(a.fps, b.fps))::BIGINT AS n_shared
+            FROM f a JOIN f b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.fps, b.fps)) >= 5
         """,
         "hash_split": """
             SELECT doc_id,

@@ -71,6 +71,7 @@ HEADLINE = [
     "trailing_time",
     "tfidf_top_terms",
     "winnow_fingerprints",
+    "winnow_pairs",
 ]
 
 
