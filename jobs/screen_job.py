@@ -55,6 +55,16 @@ def parse_args(argv):
     p.add_argument("--ensemble-partitions", type=int, default=256,
                    help="fixed partition count for --importance-backend "
                         "partitioned (determinism + balance knob)")
+    # deterministic holdout: a hash-based fraction of KEYS kept entirely
+    # out of screening (transcripts mode splits on conv_id so a
+    # conversation can never straddle the boundary; matrix mode splits on
+    # the id column). Same rows at any cluster size or partitioning —
+    # see operators/sampling.hash_split.
+    p.add_argument("--holdout-fraction", type=float, default=0.0)
+    p.add_argument("--holdout-output", default=None,
+                   help="where to write the held-out rows "
+                        "(default <output>_holdout)")
+    p.add_argument("--holdout-seed", type=int, default=42)
     # ops
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true",
@@ -62,6 +72,29 @@ def parse_args(argv):
     p.add_argument("--sessionize-gap", type=int, default=1800)
     p.add_argument("--verbosity", type=int, default=1)
     return p.parse_args(argv)
+
+
+def _split_out_holdout(args, df, key_col):
+    """Write the hash-deterministic holdout slice and return the rest."""
+    from featurescreening_jl_spark.operators.sampling import hash_split
+
+    split = hash_split(
+        df,
+        {"screen": 1.0 - args.holdout_fraction,
+         "holdout": args.holdout_fraction},
+        key_col=key_col,
+        seed=args.holdout_seed,
+    )
+    holdout_path = args.holdout_output or f"{args.output}_holdout"
+    holdout = split.where(split["split"] == "holdout").drop("split")
+    holdout.write.mode("overwrite").parquet(holdout_path)
+    n_hold = holdout.count()
+    logging.info(
+        "holdout: %d rows (keyed on %s, fraction %.3f, seed %d) -> %s",
+        n_hold, key_col, args.holdout_fraction, args.holdout_seed,
+        holdout_path,
+    )
+    return split.where(split["split"] == "screen").drop("split")
 
 
 def main(argv=None) -> None:
@@ -91,6 +124,10 @@ def main(argv=None) -> None:
             if "/" in args.input
             else spark.table(args.input)
         )
+        if args.holdout_fraction > 0:
+            # split BEFORE featurization on conv_id — the leakage
+            # boundary: every turn of a conversation lands on one side.
+            raw = _split_out_holdout(args, raw, key_col="conv_id")
         # sample_id: the canonical shared definition (turn_sample_id) —
         # byte-identical to the flagship pipeline's oracle-checked ids.
         feats = turn_features(raw, gap_seconds=args.sessionize_gap).select(
@@ -104,6 +141,10 @@ def main(argv=None) -> None:
     else:
         ff = FeatureFrame.load(spark, args.input, label_col=args.label_col,
                                id_col=args.id_col)
+        if args.holdout_fraction > 0:
+            kept = _split_out_holdout(args, ff.df, key_col=ff.id_col)
+            ff = FeatureFrame(kept, ff.feature_names,
+                              label_col=ff.label_col, id_col=ff.id_col)
 
     if args.random_features:
         # deterministic per-row noise: hash(id, column index) scaled to

@@ -254,3 +254,54 @@ class TestHdf5Orientation:
             load_hdf5(spark, path)
         with pytest.raises(ValueError, match="orientation"):
             load_hdf5(spark, path, orientation="sideways")
+
+
+class TestCliHoldout:
+    def test_transcripts_holdout_is_conversation_disjoint(
+        self, spark, tmp_path
+    ):
+        """--holdout-fraction splits on conv_id BEFORE featurization: the
+        held-out parquet and the screened set partition the conversations
+        (no conversation straddles), and the held-out conv set equals the
+        library hash_split's — byte-determinism, not sampling."""
+        from featurescreening_jl_spark.operators.sampling import hash_split
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+        from jobs.screen_job import main
+
+        tr = synthetic_transcripts(spark, n_conversations=40, seed=7,
+                                   heavy_every=0)
+        inp = str(tmp_path / "transcripts.parquet")
+        outp = str(tmp_path / "screened.parquet")
+        tr.write.parquet(inp)
+
+        main([
+            "--input", inp, "--output", outp, "--from-transcripts",
+            "--holdout-fraction", "0.25", "--holdout-seed", "11",
+            "--reduced-size", "3", "--step-size", "4",
+            "--n-trees", "20", "--max-depth", "4",
+            "--min-samples-leaf", "2", "--min-samples-split", "4",
+            "--random-seed", "1", "--verbosity", "0",
+        ])
+
+        held = spark.read.parquet(f"{outp}_holdout")
+        held_convs = {r["conv_id"] for r in held.select("conv_id").distinct().collect()}
+        all_convs = {r["conv_id"] for r in tr.select("conv_id").distinct().collect()}
+        assert 0 < len(held_convs) < len(all_convs)
+        # whole conversations: held rows == all raw rows of held convs
+        n_raw_held = tr.where(F.col("conv_id").isin(list(held_convs))).count()
+        assert held.count() == n_raw_held
+        # matches the library split exactly
+        expect = {
+            r["conv_id"]
+            for r in hash_split(
+                tr.select("conv_id").distinct(),
+                {"screen": 0.75, "holdout": 0.25},
+                key_col="conv_id", seed=11,
+            ).where(F.col("split") == "holdout").collect()
+        }
+        assert held_convs == expect
+        # screened output exists and is keyed by sample_id
+        out = spark.read.parquet(outp)
+        assert "sample_id" in out.columns
