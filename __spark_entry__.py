@@ -704,6 +704,75 @@ def q_weighted_mix(spark, sf):
     ).select("doc_id", "source_name")
 
 
+def q_repetition_stats(spark, sf):
+    # Gopher-style within-document repetition signals, computed entirely
+    # map-side (zero shuffles — plan-shape-pinned in tests). Line
+    # structure is synthesized deterministically (sentences → lines;
+    # every third doc's text is doubled so duplicate-line fractions are
+    # non-trivial), and the oracle recomputes every count and fraction
+    # from scratch with unnest+groupBy SQL — two completely different
+    # algorithms, same numbers.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf, "documents")
+    base = F.regexp_replace(F.col("text"), r"\. ", "\n")
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat_ws("\n", base, base))
+        .otherwise(base)
+        .alias("text"),
+    )
+    out = repetition_stats(aug)
+    return out.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.round("dup_line_frac", 6).alias("dup_line_frac"),
+        F.round("dup_line_char_frac", 6).alias("dup_line_char_frac"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    )
+
+
+def q_contamination(spark, sf):
+    # Benchmark decontamination: the "benchmark" is a verbatim character
+    # span of every 50th document, so each benchmark row MUST flag its
+    # source (and any near-dups). The oracle recomputes both sides'
+    # distinct 5-gram sets and intersects them pairwise — checking the
+    # broadcast-index join's hit counts against brute force.
+    from featurescreening_jl_spark.operators.decontam import (
+        contamination_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").substr(11, 200).alias("text"),
+    )
+    return contamination_pairs(docs, bench, n=5, min_shared=2).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
+def q_weighted_reservoir(spark, sf):
+    # Importance-weighted corpus sampling (A-Res, weight = text length):
+    # the oracle reproduces the portable md5→unit hash and the u^(1/w)
+    # keys, so the EXACT selected membership and scores are checked —
+    # the data-side counterpart of the reference's SelectByImportance.
+    from featurescreening_jl_spark.operators.sampling import (
+        weighted_reservoir,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "w", F.length("text").cast("double")
+    )
+    out = weighted_reservoir(
+        docs, 50, weight_col="w", key_col="doc_id", score_col="score"
+    )
+    return out.select("doc_id", F.round("score", 8).alias("score"))
+
+
 def q_cosine_neardup(spark, sf):
     # The round-1 version returned 0 rows on this corpus (max off-diagonal
     # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
@@ -948,6 +1017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "per_key_cap": q_per_key_cap,
         "weighted_mix": q_weighted_mix,
+        "weighted_reservoir": q_weighted_reservoir,
+        "repetition_stats": q_repetition_stats,
+        "contamination": q_contamination,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1561,6 +1633,115 @@ def _oracle_sql_base() -> dict[str, str]:
                          ::BIGINT / 1152921504606846976.0 AS u
               FROM documents
             )
+        """,
+        # Spark computes these map-side with sorted-array higher-order
+        # functions; the oracle recomputes with unnest + GROUP BY — a
+        # structurally different algorithm reaching the same numbers.
+        "repetition_stats": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN base || chr(10) || base
+                          ELSE base END AS text
+              FROM (
+                SELECT doc_id,
+                       regexp_replace(text, '\. ', chr(10), 'g') AS base
+                FROM documents
+              )
+            ),
+            lines AS (
+              SELECT doc_id, trim(l) AS line
+              FROM aug, unnest(string_split(text, chr(10))) AS t(l)
+              WHERE length(trim(l)) > 0
+            ),
+            lc AS (
+              SELECT doc_id, line, count(*) AS cnt, length(line) AS len
+              FROM lines GROUP BY doc_id, line
+            ),
+            lstats AS (
+              SELECT doc_id,
+                     sum(cnt) AS n_lines,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+                       / sum(cnt) AS dlf,
+                     sum(CASE WHEN cnt > 1 THEN cnt * len ELSE 0 END)::DOUBLE
+                       / sum(cnt * len) AS dlcf
+              FROM lc GROUP BY doc_id
+            ),
+            toks AS (
+              SELECT doc_id,
+                     string_split(
+                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                       ' ') AS tk
+              FROM aug
+            ),
+            bc AS (
+              SELECT doc_id, b, count(*) AS cnt FROM (
+                SELECT doc_id, tk[i] || ' ' || tk[i+1] AS b
+                FROM toks, unnest(range(1, len(tk))) AS r(i)
+              ) GROUP BY doc_id, b
+            ),
+            bstats AS (
+              SELECT doc_id, sum(cnt) AS n_bigrams,
+                     max(cnt)::DOUBLE / sum(cnt) AS tbf
+              FROM bc GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   coalesce(n_lines, 0)::BIGINT AS n_lines,
+                   round(coalesce(dlf, 0), 6) AS dup_line_frac,
+                   round(coalesce(dlcf, 0), 6) AS dup_line_char_frac,
+                   coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(coalesce(tbf, 0), 6) AS top_bigram_frac
+            FROM aug a
+            LEFT JOIN lstats USING (doc_id)
+            LEFT JOIN bstats USING (doc_id)
+        """,
+        # brute-force pairwise 5-gram-set intersection vs Spark's
+        # broadcast inverted-index join
+        "contamination": r"""
+            WITH sh AS (
+              SELECT doc_id,
+                     list_filter(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 5, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+5], ' '))),
+                       g -> len(g) > 0) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents
+              )
+            ),
+            bs AS (
+              SELECT bench_id,
+                     list_filter(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 5, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+5], ' '))),
+                       g -> len(g) > 0) AS s
+              FROM (
+                SELECT doc_id AS bench_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(
+                           substr(text, 11, 200), '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents WHERE doc_id % 50 = 7
+              )
+            )
+            SELECT c.doc_id, b.bench_id,
+                   len(list_intersect(c.s, b.s))::BIGINT AS n_shared
+            FROM sh c JOIN bs b ON len(list_intersect(c.s, b.s)) >= 2
+        """,
+        "weighted_reservoir": """
+            SELECT doc_id, round(pow(u, 1.0 / w), 8) AS score
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                         ::BIGINT / 1152921504606846976.0 AS u,
+                     length(text)::DOUBLE AS w
+              FROM documents
+            )
+            WHERE w > 0
+            ORDER BY pow(u, 1.0 / w) DESC, doc_id ASC
+            LIMIT 50
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM (

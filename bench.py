@@ -72,6 +72,9 @@ HEADLINE = [
     "tfidf_top_terms",
     "winnow_fingerprints",
     "winnow_pairs",
+    "repetition_stats",
+    "contamination",
+    "weighted_reservoir",
 ]
 
 

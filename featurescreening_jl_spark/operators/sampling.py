@@ -49,6 +49,7 @@ __all__ = [
     "stratified_sample",
     "per_key_cap",
     "weighted_mix",
+    "weighted_reservoir",
 ]
 
 # 2^60 — hash60_portable's range; division lands in [0, 1).
@@ -151,6 +152,53 @@ def per_key_cap(
     if keep_rank is not None:
         return out.withColumnRenamed("__rk", keep_rank)
     return out.drop("__rk")
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    key_col: str,
+    seed: int = 42,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Distributed weighted random sample of ``k`` rows WITHOUT
+    replacement, selection probability ∝ ``weight_col`` (Efraimidis &
+    Spirakis A-Res: each row gets key ``u^(1/w)`` with ``u`` uniform in
+    [0,1); the k largest keys are exactly a weighted
+    without-replacement draw). Rows with non-positive weight are never
+    selected (probability 0 — the same contract as numpy
+    ``choice(p=...)`` with zero entries).
+
+    This is the data-resident counterpart of the reference's
+    ``SelectRandom`` / ``SelectByImportance`` driver-side weighted
+    sampling (reference ``src/importance.jl:172-232``): the same draw
+    semantics for collections too large to collect to the driver (e.g.
+    importance-weighted corpus subsampling over 10^12 rows).
+
+    Scale + determinism: ``u`` is the portable md5 hash of
+    ``seed:key`` — a pure per-row function, so the selected set is
+    IDENTICAL at any parallelism/partitioning (unlike ``rand(seed)``,
+    which is partition-index-seeded) and exactly reproducible by the
+    DuckDB oracle. The global top-k plans as TakeOrderedAndProject:
+    each partition keeps its local top-k and only those k·partitions
+    candidate rows reach the driver merge — no global sort, no shuffle
+    of non-winners.
+    """
+    if k <= 0:
+        raise ValueError("weighted_reservoir: k must be positive")
+    w = F.col(weight_col).cast("double")
+    u = hash_unit(F.col(key_col), seed)
+    score = F.pow(u, F.lit(1.0) / w)
+    name = score_col or "__wr_score"
+    out = (
+        df.where(w > 0)
+        .withColumn(name, score)
+        .orderBy(F.desc(name), F.asc(key_col))
+        .limit(k)
+    )
+    return out if score_col else out.drop(name)
 
 
 def weighted_mix(

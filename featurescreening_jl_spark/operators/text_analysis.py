@@ -20,6 +20,7 @@ __all__ = [
     "tfidf_top_terms",
     "winnow_fingerprints",
     "winnow_candidate_pairs",
+    "repetition_stats",
 ]
 
 # tiny per-language stopword marker sets for the n-gram language heuristic
@@ -281,6 +282,149 @@ def winnow_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText quality
+    filters: Rae et al. 2021, table A1): fraction of lines that are
+    duplicates of another line in the same document, fraction of
+    CHARACTERS inside such duplicated lines, and the fraction of all word
+    bigrams taken by the single most frequent bigram. High values mark
+    boilerplate, scraped navigation chrome, and degenerate repetition —
+    standard kill rules for LLM training corpora.
+
+    Returns ``(id_col, n_lines, dup_line_frac, dup_line_char_frac,
+    n_bigrams, top_bigram_frac)`` — one row per input row.
+
+    Scale design: this is a PURE PER-ROW function, so it is computed
+    entirely map-side with higher-order array expressions — zero
+    shuffles, zero UDFs, embarrassingly parallel at any corpus size (the
+    naive formulation — explode lines/bigrams and groupBy — would shuffle
+    a multiple of the corpus's text; here nothing leaves the scan
+    partition). Per-row cost is O(len · log len) for the two array sorts.
+
+    Semantics pinned by the DuckDB oracle: a "line" is a trimmed,
+    non-empty segment of a ``\\n`` split; line identity is exact string
+    equality of the trimmed line; a line is duplicated iff it occurs ≥2
+    times in ITS OWN document (every occurrence counts toward the
+    numerator, matching Gopher's "fraction of lines duplicated").
+    Bigrams come from the whitespace-normalized lowercased token stream
+    and are counted with multiplicity. Documents with no lines (empty
+    text) or fewer than two tokens report 0 counts and 0.0 fractions.
+    """
+    text = F.col(text_col)
+
+    # --- duplicate-line stats over the sorted line array -----------------
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    sl = F.array_sort(lines)
+    n_lines = F.size(sl)
+
+    def line_stats(arr):
+        # arr is a lambda variable (array(sl) binding — see the winnow
+        # operator for why: CollapseProject would otherwise inline the
+        # sort into every per-index lambda element, O(len²)).
+        n = F.size(arr)
+
+        def is_dup(i):
+            # duplicate iff equal to a sorted neighbor; F.get returns
+            # NULL out of range (never errors, unlike ANSI element_at)
+            return F.coalesce(F.get(arr, i) == F.get(arr, i - 1), F.lit(False)) | F.coalesce(
+                F.get(arr, i) == F.get(arr, i + 1), F.lit(False)
+            )
+
+        zero = F.struct(
+            F.lit(0).cast("long").alias("dup_cnt"),
+            F.lit(0).cast("long").alias("dup_chars"),
+            F.lit(0).cast("long").alias("tot_chars"),
+        )
+        return F.when(
+            n > 0,
+            F.aggregate(
+                F.sequence(F.lit(0), n - 1),
+                zero,
+                lambda acc, i: F.struct(
+                    (acc["dup_cnt"] + F.when(is_dup(i), 1).otherwise(0))
+                    .cast("long")
+                    .alias("dup_cnt"),
+                    (
+                        acc["dup_chars"]
+                        + F.when(is_dup(i), F.length(F.get(arr, i))).otherwise(0)
+                    )
+                    .cast("long")
+                    .alias("dup_chars"),
+                    (acc["tot_chars"] + F.length(F.get(arr, i)))
+                    .cast("long")
+                    .alias("tot_chars"),
+                ),
+            ),
+        ).otherwise(zero)
+
+    lstats = F.element_at(
+        F.transform(F.array(sl), line_stats), 1
+    )
+
+    # --- top-bigram fraction over the sorted bigram array ----------------
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " "
+    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def run_stats(bg):
+        # longest run of equal adjacent elements in the sorted array =
+        # the max multiplicity of any bigram; single fold, no second sort
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        )
+        return F.aggregate(
+            bg,
+            init,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    top_run = F.element_at(F.transform(F.array(bigrams), run_stats), 1)
+    n_bigrams = F.size(bigrams)
+
+    safe = lambda d: F.when(d > 0, d.cast("double")).otherwise(F.lit(1.0))  # noqa: E731
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        (lstats["dup_cnt"].cast("double") / safe(n_lines)).alias("dup_line_frac"),
+        (
+            lstats["dup_chars"].cast("double") / safe(lstats["tot_chars"])
+        ).alias("dup_line_char_frac"),
+        n_bigrams.cast("long").alias("n_bigrams"),
+        (top_run.cast("double") / safe(n_bigrams)).alias("top_bigram_frac"),
     )
 
 

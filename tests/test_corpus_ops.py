@@ -1,0 +1,164 @@
+"""Corpus-hygiene operators: within-document repetition stats
+(operators/text_analysis.repetition_stats) and benchmark decontamination
+(operators/decontam).
+
+Scale properties pinned here: repetition_stats must stay MAP-ONLY (zero
+exchanges — it is a pure per-row function), and contamination must probe
+the corpus through a BROADCAST of the benchmark's n-gram index (the
+corpus side never shuffles).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.decontam import (
+    contamination_pairs,
+    flag_contaminated,
+)
+from featurescreening_jl_spark.operators.text_analysis import repetition_stats
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def rep_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "a b\nc d\na b\n\n  \nx y z"),
+            (1, "hello world hello world hello world"),
+            (2, ""),
+            (3, "one line only"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+class TestRepetitionStats:
+    def test_golden_values(self, rep_docs):
+        rows = {r["doc_id"]: r for r in repetition_stats(rep_docs).collect()}
+        # doc 0: lines [a b, c d, a b, x y z] — "a b" duplicated (2 of 4
+        # lines, 6 of 14 chars); bigrams of "a b c d a b x y z": 8 total,
+        # "a b" twice
+        assert rows[0]["n_lines"] == 4
+        assert rows[0]["dup_line_frac"] == pytest.approx(0.5)
+        assert rows[0]["dup_line_char_frac"] == pytest.approx(6 / 14)
+        assert rows[0]["n_bigrams"] == 8
+        assert rows[0]["top_bigram_frac"] == pytest.approx(2 / 8)
+        # doc 1: one line, no dups; "hello world" is 3 of 5 bigrams
+        assert rows[1]["dup_line_frac"] == 0.0
+        assert rows[1]["top_bigram_frac"] == pytest.approx(3 / 5)
+        # doc 2 (empty): all zeros, no division blow-ups
+        assert rows[2]["n_lines"] == 0
+        assert rows[2]["dup_line_frac"] == 0.0
+        assert rows[2]["dup_line_char_frac"] == 0.0
+        assert rows[2]["n_bigrams"] == 0
+        assert rows[2]["top_bigram_frac"] == 0.0
+        # doc 3: 2 bigrams, each unique
+        assert rows[3]["n_bigrams"] == 2
+        assert rows[3]["top_bigram_frac"] == pytest.approx(0.5)
+
+    def test_fully_repeated_doc_maxes_out(self, spark):
+        df = spark.createDataFrame(
+            [(0, "spam spam\nspam spam\nspam spam")], ["doc_id", "text"]
+        )
+        r = repetition_stats(df).collect()[0]
+        assert r["dup_line_frac"] == 1.0
+        assert r["dup_line_char_frac"] == 1.0
+        # bigrams: 5 total, "spam spam" x5
+        assert r["top_bigram_frac"] == 1.0
+
+    def test_map_only_plan(self, rep_docs):
+        plan = (
+            repetition_stats(rep_docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_runs_on_real_documents(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = repetition_stats(docs)
+        assert out.count() == docs.count()
+        bad = out.where(
+            (F.col("dup_line_frac") < 0)
+            | (F.col("dup_line_frac") > 1)
+            | (F.col("top_bigram_frac") < 0)
+            | (F.col("top_bigram_frac") > 1)
+        ).count()
+        assert bad == 0
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely unrelated text about spark physical plans"),
+            (2, "another doc where the quick brown fox jumps over fences"),
+            (3, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+class TestContamination:
+    def test_substring_benchmark_flags_sources(self, spark, corpus):
+        # benchmark = a verbatim span of doc 0 — decontamination's core case
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over")], ["bench_id", "text"]
+        )
+        pairs = contamination_pairs(corpus, bench, n=3, min_shared=1)
+        got = {(r["doc_id"], r["bench_id"]): r["n_shared"] for r in pairs.collect()}
+        # docs 0 and 2 share the span's 3-grams; doc 0 shares all 3
+        assert got[(0, 900)] == 3
+        assert got[(2, 900)] == 3
+        assert (1, 900) not in got
+        assert (3, 900) not in got
+
+    def test_min_shared_threshold(self, spark, corpus):
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox zzz yyy over the lazy")],
+            ["bench_id", "text"],
+        )
+        # only "quick brown fox" + "over the lazy" match doc 0 → 2 shared
+        loose = contamination_pairs(corpus, bench, n=3, min_shared=1)
+        tight = contamination_pairs(corpus, bench, n=3, min_shared=3)
+        assert loose.where(F.col("doc_id") == 0).count() == 1
+        assert tight.where(F.col("doc_id") == 0).count() == 0
+
+    def test_flag_contaminated_annotates_all_rows(self, spark, corpus):
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over"), (901, "the lazy dog today")],
+            ["bench_id", "text"],
+        )
+        out = flag_contaminated(corpus, bench, n=3, min_shared=1)
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert len(rows) == 4  # every corpus row present exactly once
+        assert rows[0]["contaminated"] and rows[0]["n_bench_matches"] == 2
+        assert rows[2]["contaminated"] and rows[2]["n_bench_matches"] == 1
+        assert not rows[1]["contaminated"] and rows[1]["n_bench_matches"] == 0
+        assert not rows[3]["contaminated"]
+
+    def test_benchmark_broadcasts_corpus_never_shuffles(self, spark, corpus):
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over")], ["bench_id", "text"]
+        )
+        plan = (
+            contamination_pairs(corpus, bench, n=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # the only exchanges allowed: the broadcast of the benchmark index
+        # and the (doc,bench)-pair aggregate — never a shuffle of the
+        # corpus n-gram stream (SortMergeJoin would require one)
+        assert "SortMergeJoin" not in plan
+
+    def test_empty_texts_never_match(self, spark):
+        c = spark.createDataFrame([(0, ""), (1, "   ")], ["doc_id", "text"])
+        b = spark.createDataFrame([(9, "")], ["bench_id", "text"])
+        assert contamination_pairs(c, b, n=3).count() == 0

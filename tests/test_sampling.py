@@ -165,3 +165,70 @@ class TestWeightedMix:
     def test_empty_raises(self):
         with pytest.raises(ValueError, match="at least one"):
             weighted_mix([], key_col="k")
+
+
+class TestWeightedReservoir:
+    def test_membership_stable_under_repartition(self, keyed):
+        from featurescreening_jl_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        df = keyed.withColumn("w", (F.col("k") % 10 + 1).cast("double"))
+        a = weighted_reservoir(df, 50, weight_col="w", key_col="k")
+        b = weighted_reservoir(
+            df.repartition(17), 50, weight_col="w", key_col="k"
+        )
+        ka = sorted(r["k"] for r in a.collect())
+        kb = sorted(r["k"] for r in b.collect())
+        assert ka == kb
+        assert len(ka) == 50
+
+    def test_nonpositive_weight_never_selected(self, keyed):
+        from featurescreening_jl_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        # only 100 rows have positive weight; k=200 must return exactly them
+        df = keyed.withColumn(
+            "w", F.when(F.col("k") < 100, 1.0).otherwise(0.0)
+        )
+        out = weighted_reservoir(df, 200, weight_col="w", key_col="k")
+        ks = sorted(r["k"] for r in out.collect())
+        assert ks == list(range(100))
+
+    def test_weight_proportionality(self, keyed):
+        from featurescreening_jl_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        # A-Res: with weights 50:1 on half the rows each, a k=100 sample of
+        # 10k rows should be dominated by the heavy half (p_heavy ~ 50/51
+        # per slot early on; even a loose bound separates a broken impl)
+        df = keyed.withColumn(
+            "w", F.when(F.col("k") % 2 == 0, 50.0).otherwise(1.0)
+        )
+        out = weighted_reservoir(df, 100, weight_col="w", key_col="k")
+        heavy = sum(1 for r in out.collect() if r["k"] % 2 == 0)
+        assert heavy > 85
+
+    def test_plans_take_ordered(self, keyed):
+        from featurescreening_jl_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        df = keyed.withColumn("w", F.lit(1.0))
+        plan = weighted_reservoir(
+            df, 10, weight_col="w", key_col="k"
+        )._jdf.queryExecution().executedPlan().toString()
+        # global top-k must be per-partition top-k + driver merge — never a
+        # global sort
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan
+
+    def test_bad_k_raises(self, keyed):
+        from featurescreening_jl_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        with pytest.raises(ValueError, match="positive"):
+            weighted_reservoir(keyed, 0, weight_col="k", key_col="k")
