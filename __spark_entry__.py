@@ -773,6 +773,41 @@ def q_weighted_reservoir(spark, sf):
     return out.select("doc_id", F.round("score", 8).alias("score"))
 
 
+def q_pii_redaction(spark, sf):
+    # Privacy filtering: PII (email / IPv4 / phone) injected
+    # deterministically into every fifth document, then counted and
+    # redacted. Patterns are restricted to the Java∩RE2 regex subset, so
+    # the oracle re-runs the IDENTICAL patterns in DuckDB and compares
+    # the redacted text byte-for-byte.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        pii_stats,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 at 10.0.0."),
+                (F.col("doc_id") % 256).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    stats = pii_stats(F.col("text"))
+    return injected.select(
+        "doc_id",
+        *[c.cast("long").alias(n) for n, c in stats.items()],
+        redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
 def q_cosine_neardup(spark, sf):
     # The round-1 version returned 0 rows on this corpus (max off-diagonal
     # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
@@ -1020,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": q_weighted_reservoir,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "pii_redaction": q_pii_redaction,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1729,6 +1765,36 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT c.doc_id, b.bench_id,
                    len(list_intersect(c.s, b.s))::BIGINT AS n_shared
             FROM sh c JOIN bs b ON len(list_intersect(c.s, b.s)) >= 2
+        """,
+        # identical Java∩RE2 regexes re-run in DuckDB; redacted text
+        # compared byte-for-byte
+        "pii_redaction": r"""
+            WITH injected AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact user' || doc_id::VARCHAR
+                               || '@example.com or 555-867-5309 at 10.0.0.'
+                               || (doc_id % 256)::VARCHAR
+                          ELSE text END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_email,
+                   len(regexp_extract_all(text,
+                     '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                     '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'
+                   ) AS redacted
+            FROM injected
         """,
         "weighted_reservoir": """
             SELECT doc_id, round(pow(u, 1.0 / w), 8) AS score

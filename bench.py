@@ -75,6 +75,7 @@ HEADLINE = [
     "repetition_stats",
     "contamination",
     "weighted_reservoir",
+    "pii_redaction",
 ]
 
 

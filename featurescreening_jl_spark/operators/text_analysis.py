@@ -21,6 +21,19 @@ __all__ = [
     "winnow_fingerprints",
     "winnow_candidate_pairs",
     "repetition_stats",
+    "pii_stats",
+    "redact_pii",
+]
+
+# PII patterns shared by pii_stats / redact_pii. Deliberately restricted
+# to the regex subset BOTH Java (Spark codegen) and RE2 (DuckDB, Go
+# engines) support — no backreferences, no lookarounds — so redaction is
+# engine-portable and oracle-checkable. Order matters: emails first
+# (an email must not first lose its digits to the phone pattern).
+_PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
 ]
 
 # tiny per-language stopword marker sets for the n-gram language heuristic
@@ -426,6 +439,29 @@ def repetition_stats(
         n_bigrams.cast("long").alias("n_bigrams"),
         (top_run.cast("double") / safe(n_bigrams)).alias("top_bigram_frac"),
     )
+
+
+def pii_stats(text: Column) -> dict[str, Column]:
+    """Per-document PII match counts (emails, IPv4 addresses, US-style
+    phone numbers) — the audit side of privacy filtering: route documents
+    above a threshold to review/drop before training. Counts are taken on
+    the ORIGINAL text, each pattern independently."""
+    return {
+        f"n_{name}": F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat, _ in _PII_PATTERNS
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with its placeholder token (``<EMAIL>``,
+    ``<IP>``, ``<PHONE>``), patterns applied in a fixed order (emails
+    before phones, so an address never loses its digits first). A pure
+    chain of ``regexp_replace`` — JVM-side codegen, one pass per pattern,
+    no UDF; engine-portable regexes (see ``_PII_PATTERNS``)."""
+    out = text
+    for _, pat, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
 
 
 def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:

