@@ -808,6 +808,62 @@ def q_pii_redaction(spark, sf):
     )
 
 
+def q_conv_truncate(spark, sf):
+    # Conversation token-budget truncation: keep each conversation's
+    # longest prefix whose cumulative whitespace-token count stays within
+    # the budget. One running-sum window + one filter; the monotone
+    # cumsum makes the filter a provable prefix cut (no grouped UDF).
+    from featurescreening_jl_spark.operators.conversations import (
+        truncate_to_token_budget,
+    )
+
+    t = _transcripts(spark, sf)
+    out = truncate_to_token_budget(t, budget_tokens=200)
+    return out.select("conv_id", "turn_idx", "cum_tokens")
+
+
+def q_conv_validity(spark, sf):
+    # Chat-format audit: per-conversation shape stats + is_valid verdict
+    # (opener role, empty turns, role-repetition rate). One lag window
+    # feeding one hash aggregate.
+    from featurescreening_jl_spark.operators.conversations import (
+        conversation_validity,
+    )
+
+    return conversation_validity(_transcripts(spark, sf), min_alternation=0.7)
+
+
+def q_quality_score(spark, sf):
+    # Deterministic logistic quality score (C4/Gopher-style heuristic
+    # filter stage) — fixed public weights over the quality_features
+    # signals; the identical closed form re-runs in DuckDB.
+    from featurescreening_jl_spark.operators.text_analysis import quality_score
+
+    docs = _t(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("q_score")
+    )
+
+
+def q_json_facets(spark, sf):
+    # Semi-structured extraction: ONE typed from_json parse per row over
+    # events.props (never per-field get_json_object re-parses, never a
+    # Python UDF), then a per-event_type rollup of the extracted field.
+    from featurescreening_jl_spark.operators.semistructured import (
+        parse_json_fields,
+    )
+
+    ev = _t(spark, sf, "events")
+    typed = parse_json_fields(ev, "props", {"k": "bigint"})
+    return typed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null_k"),
+    )
+
+
 def q_cosine_neardup(spark, sf):
     # The round-1 version returned 0 rows on this corpus (max off-diagonal
     # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
@@ -1056,6 +1112,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
+        "conv_truncate": q_conv_truncate,
+        "conv_validity": q_conv_validity,
+        "quality_score": q_quality_score,
+        "json_facets": q_json_facets,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1795,6 +1855,108 @@ def _oracle_sql_base() -> dict[str, str]:
                      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'
                    ) AS redacted
             FROM injected
+        """,
+        # running-sum prefix cut; cumsum is monotone so cum <= budget IS
+        # the longest in-budget prefix of each conversation
+        "conv_truncate": rf"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, turn_idx,
+                     SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                              ELSE len(regexp_split_to_array(trim(text),
+                                                             '\s+'))
+                         END) OVER (PARTITION BY conv_id
+                                    ORDER BY ts, turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            )
+            SELECT conv_id, turn_idx, cum_tokens
+            FROM c WHERE cum_tokens <= 200
+        """,
+        "conv_validity": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            l AS (
+              SELECT conv_id, role,
+                     (length(trim(text)) = 0)::INT AS e,
+                     (lag(role) OVER (PARTITION BY conv_id
+                                      ORDER BY ts, turn_idx) = role)::INT AS r,
+                     (row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY ts, turn_idx) = 1)::INT AS f
+              FROM t
+            )
+            SELECT conv_id,
+                   COUNT(*)::BIGINT AS n_turns,
+                   (MAX(CASE WHEN f = 1 THEN role END) = 'user')
+                       AS starts_with_opener,
+                   SUM(e)::BIGINT AS n_empty_turns,
+                   COALESCE(SUM(r), 0)::BIGINT AS n_role_repeats,
+                   round(CASE WHEN COUNT(*) > 1
+                              THEN 1.0 - COALESCE(SUM(r), 0)::DOUBLE
+                                         / (COUNT(*) - 1) END, 4)
+                       AS alternation_rate,
+                   ((MAX(CASE WHEN f = 1 THEN role END) = 'user')
+                    AND SUM(e) = 0
+                    AND (COUNT(*) = 1
+                         OR 1.0 - COALESCE(SUM(r), 0)::DOUBLE
+                                  / (COUNT(*) - 1) >= 0.7)) AS is_valid
+            FROM l GROUP BY conv_id
+        """,
+        # identical closed-form logistic over the UNROUNDED quality
+        # features (rounding only the final score, like the Spark side)
+        "quality_score": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text)::DOUBLE AS n_chars,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::DOUBLE AS n_tokens,
+                     (length(text)
+                      - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                         AS n_punct,
+                     (length(text)
+                      - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                         AS n_upper,
+                     len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           w -> list_contains(
+                                  ['the','a','an','and','or','of','to','in',
+                                   'is','it','for','on','with','as','at','by',
+                                   'that','this'], w)))::DOUBLE AS n_stop
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id,
+                     n_chars / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                     ELSE 1.0 END) AS mwl,
+                     n_punct / (CASE WHEN n_chars > 0 THEN n_chars
+                                     ELSE 1.0 END) AS pr,
+                     n_upper / (CASE WHEN n_chars > 0 THEN n_chars
+                                     ELSE 1.0 END) AS ur,
+                     n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                    ELSE 1.0 END) AS sr,
+                     ln(1.0 + n_tokens) AS lt
+              FROM q
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(-1.0 + 6.0 * sr - 8.0 * pr
+                                            - 4.0 * ur - 0.15 * mwl
+                                            + 0.25 * lt))), 4) AS q_score
+            FROM f
+        """,
+        "json_facets": """
+            WITH p AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   COUNT(*)::BIGINT AS n,
+                   round(avg(k), 4) AS avg_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k,
+                   SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_null_k
+            FROM p GROUP BY event_type
         """,
         "weighted_reservoir": """
             SELECT doc_id, round(pow(u, 1.0 / w), 8) AS score

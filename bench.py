@@ -76,6 +76,10 @@ HEADLINE = [
     "contamination",
     "weighted_reservoir",
     "pii_redaction",
+    "conv_truncate",
+    "conv_validity",
+    "quality_score",
+    "json_facets",
 ]
 
 

@@ -1,0 +1,122 @@
+"""Conversation-level data-prep gates over transcript tables.
+
+Chat/agent training corpora need conversation-shaped hygiene that
+document-level filters can't express: cutting each conversation to a
+token budget without breaking turn order, and rejecting malformed
+conversations (wrong opener role, stuck role repetition, empty turns)
+before they reach featurization (reference scope: the screening input
+contract of `/root/reference/src/FeatureScreening.jl:88-104` assumes
+well-formed samples; these gates produce them).
+
+Both operators are pure built-in expressions — one window pass or one
+hash aggregate — so they stay JVM-side and whole-stage-codegen'd:
+
+- ``truncate_to_token_budget``: a running-sum window over the shared
+  conversation order ``(ts, turn_idx)``. Cumulative token counts are
+  monotonically non-decreasing (counts are ≥ 0), so the single filter
+  ``cum <= budget`` provably keeps a PREFIX of each conversation —
+  no per-group UDF, no sort beyond the one window sort, and at cluster
+  scale the sort is elided when the table is written ts-sorted within
+  conv_id partitions (same argument as window_features.py).
+- ``conversation_validity``: one lag window (role repetition) feeding
+  one hash aggregate (map-side partials) — per-conversation shape
+  stats plus an ``is_valid`` verdict under explicit thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.text_analysis import token_count
+
+__all__ = [
+    "truncate_to_token_budget",
+    "conversation_validity",
+]
+
+
+def truncate_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    text_col: str = "text",
+    cum_col: str = "cum_tokens",
+) -> DataFrame:
+    """Keep the longest prefix of each conversation whose cumulative
+    whitespace-token count stays within ``budget_tokens`` (inclusive).
+
+    The prefix guarantee needs no grouped UDF: per-turn counts are
+    non-negative, so the running sum is monotone within a conversation
+    and ``cum <= budget`` admits exactly the turns before the first
+    overflow. A turn that itself overflows the remaining budget is
+    dropped along with everything after it (no partial turns — a split
+    mid-turn would break the per-row text-equality invariant).
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    w = (
+        Window.partitionBy(by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count(F.col(text_col)).cast("long")).over(w)
+    return df.withColumn(cum_col, cum).where(F.col(cum_col) <= budget_tokens)
+
+
+def conversation_validity(
+    df: DataFrame,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    opener_role: str = "user",
+    min_alternation: float = 0.5,
+) -> DataFrame:
+    """Per-conversation chat-format audit: shape stats plus an
+    ``is_valid`` verdict.
+
+    Emitted per conversation:
+
+    - ``n_turns``
+    - ``starts_with_opener`` — first turn (by ``order``) has
+      ``opener_role``
+    - ``n_empty_turns`` — turns whose text is blank/whitespace
+    - ``n_role_repeats`` — consecutive turn pairs with the same role
+      ("stuck speaker"; assistant→assistant etc.)
+    - ``alternation_rate`` — ``1 - repeats/(n_turns-1)``, NULL for
+      single-turn conversations (no pairs to judge)
+    - ``is_valid`` — opener correct AND zero empty turns AND
+      (single-turn OR alternation_rate ≥ ``min_alternation``)
+
+    One lag window feeding one hash aggregate; both stages shuffle on
+    ``by`` only, and AQE coalesces the tiny post-agg side.
+    """
+    ow = Window.partitionBy(by).orderBy(*order)
+    flagged = df.select(
+        by,
+        F.col("role"),
+        (F.length(F.trim(F.col("text"))) == 0).cast("int").alias("__empty"),
+        (F.lag("role").over(ow) == F.col("role")).cast("int").alias("__rep"),
+        (F.row_number().over(ow) == 1).cast("int").alias("__first"),
+    )
+    pairs = F.count("*") - 1
+    repeats = F.coalesce(F.sum("__rep"), F.lit(0))
+    rate = F.when(
+        pairs > 0, 1.0 - repeats.cast("double") / pairs.cast("double")
+    )
+    opener_ok = (
+        F.max(F.when(F.col("__first") == 1, F.col("role"))) == opener_role
+    )
+    n_empty = F.sum("__empty")
+    return flagged.groupBy(by).agg(
+        F.count("*").alias("n_turns"),
+        opener_ok.alias("starts_with_opener"),
+        n_empty.alias("n_empty_turns"),
+        repeats.alias("n_role_repeats"),
+        F.round(rate, 4).alias("alternation_rate"),
+        (
+            opener_ok
+            & (n_empty == 0)
+            & ((pairs == 0) | (rate >= min_alternation))
+        ).alias("is_valid"),
+    )

@@ -23,7 +23,21 @@ __all__ = [
     "repetition_stats",
     "pii_stats",
     "redact_pii",
+    "quality_score",
 ]
+
+# Fixed public weights for the logistic quality scorer — a C4/Gopher-style
+# heuristic filter (favor stopword-bearing, prose-length text; penalize
+# punctuation/caps noise), NOT a learned model. Frozen so the score is a
+# deterministic, engine-portable function of the text.
+_QUALITY_LOGISTIC = {
+    "bias": -1.0,
+    "stopword_ratio": 6.0,
+    "punct_ratio": -8.0,
+    "upper_ratio": -4.0,
+    "mean_word_len": -0.15,
+    "log1p_tokens": 0.25,
+}
 
 # PII patterns shared by pii_stats / redact_pii. Deliberately restricted
 # to the regex subset BOTH Java (Spark codegen) and RE2 (DuckDB, Go
@@ -439,6 +453,26 @@ def repetition_stats(
         n_bigrams.cast("long").alias("n_bigrams"),
         (top_run.cast("double") / safe(n_bigrams)).alias("top_bigram_frac"),
     )
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic logistic quality score in (0, 1): sigmoid of a fixed
+    linear combination (``_QUALITY_LOGISTIC``) of the
+    :func:`quality_features` signals plus ``ln(1 + n_tokens)``. The
+    heuristic-filter stage of a C4/Gopher-style pipeline — rank or
+    threshold documents before training. Pure codegen expression; the
+    identical closed form runs in any SQL engine (oracle-checked)."""
+    q = quality_features(text)
+    w = _QUALITY_LOGISTIC
+    z = (
+        F.lit(w["bias"])
+        + w["stopword_ratio"] * q["stopword_ratio"]
+        + w["punct_ratio"] * q["punct_ratio"]
+        + w["upper_ratio"] * q["upper_ratio"]
+        + w["mean_word_len"] * q["mean_word_len"]
+        + w["log1p_tokens"] * F.log1p(q["n_tokens"])
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def pii_stats(text: Column) -> dict[str, Column]:

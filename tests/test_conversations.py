@@ -1,0 +1,177 @@
+"""Conversation-level gates (truncation, validity) and JSON extraction."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.conversations import (
+    conversation_validity,
+    truncate_to_token_budget,
+)
+from featurescreening_jl_spark.operators.semistructured import (
+    json_field,
+    parse_json_fields,
+)
+
+
+def _ts(i):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def _conv(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, None, _ts(i)) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+class TestTruncateToTokenBudget:
+    def test_prefix_cut_at_budget(self, spark):
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "user", "one two three"),        # cum 3
+                ("a", 1, "assistant", "four five"),       # cum 5
+                ("a", 2, "user", "six seven eight nine"), # cum 9 > 8 → drop
+                ("a", 3, "assistant", "ten"),             # after cut → drop
+                ("b", 0, "user", "solo"),                 # cum 1
+            ],
+        )
+        out = truncate_to_token_budget(df, budget_tokens=8)
+        kept = sorted(
+            (r["conv_id"], r["turn_idx"], r["cum_tokens"]) for r in out.collect()
+        )
+        # turn a/3 is small enough on its own but sits AFTER the overflow
+        # turn — a prefix cut must drop it too
+        assert kept == [("a", 0, 3), ("a", 1, 5), ("b", 0, 1)]
+
+    def test_exact_boundary_inclusive(self, spark):
+        df = _conv(spark, [("a", 0, "user", "one two"), ("a", 1, "assistant", "x")])
+        assert truncate_to_token_budget(df, budget_tokens=3).count() == 2
+        assert truncate_to_token_budget(df, budget_tokens=2).count() == 1
+
+    def test_empty_turns_cost_zero(self, spark):
+        df = _conv(spark, [("a", 0, "user", "   "), ("a", 1, "assistant", "hi")])
+        out = truncate_to_token_budget(df, budget_tokens=1)
+        assert out.count() == 2
+
+    def test_negative_budget_raises(self, spark):
+        df = _conv(spark, [("a", 0, "user", "x")])
+        with pytest.raises(ValueError):
+            truncate_to_token_budget(df, budget_tokens=-1)
+
+
+class TestConversationValidity:
+    def test_verdicts(self, spark):
+        df = _conv(
+            spark,
+            [
+                # valid: user opener, perfect alternation, no empties
+                ("good", 0, "user", "q"),
+                ("good", 1, "assistant", "a"),
+                ("good", 2, "user", "q2"),
+                # wrong opener
+                ("opener", 0, "assistant", "hi"),
+                ("opener", 1, "user", "??"),
+                # empty turn
+                ("empty", 0, "user", "q"),
+                ("empty", 1, "assistant", "  "),
+                # stuck speaker: 2 repeats in 3 pairs → rate 1/3 < 0.5
+                ("stuck", 0, "user", "a"),
+                ("stuck", 1, "assistant", "b"),
+                ("stuck", 2, "assistant", "c"),
+                ("stuck", 3, "assistant", "d"),
+                # single turn: no pairs, rate NULL, still valid
+                ("solo", 0, "user", "hello"),
+            ],
+        )
+        rows = {
+            r["conv_id"]: r
+            for r in conversation_validity(df, min_alternation=0.5).collect()
+        }
+        assert rows["good"]["is_valid"] and rows["good"]["alternation_rate"] == 1.0
+        assert not rows["opener"]["is_valid"]
+        assert rows["opener"]["starts_with_opener"] is False
+        assert not rows["empty"]["is_valid"] and rows["empty"]["n_empty_turns"] == 1
+        assert not rows["stuck"]["is_valid"]
+        assert rows["stuck"]["n_role_repeats"] == 2
+        assert abs(rows["stuck"]["alternation_rate"] - 0.3333) < 1e-9
+        assert rows["solo"]["is_valid"]
+        assert rows["solo"]["alternation_rate"] is None
+
+    def test_opener_judged_by_order_not_turn_idx_value(self, spark):
+        # order is (ts, turn_idx); a conversation whose first row by ts has
+        # role 'user' is opener-ok even if its turn_idx numbering is odd
+        df = spark.createDataFrame(
+            [
+                ("a", 7, "user", "first by ts", None, _ts(0)),
+                ("a", 8, "assistant", "second", None, _ts(1)),
+            ],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        row = conversation_validity(df).collect()[0]
+        assert row["starts_with_opener"] and row["is_valid"]
+
+
+class TestQualityScore:
+    def test_bounded_and_favors_stopword_prose(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import quality_score
+
+        df = spark.createDataFrame(
+            [
+                (0, "the cat is on the mat and it is a good cat"),
+                (1, "@@@@ #### !!!! $$$$ %%%% ^^^^ &&&& ****"),
+                (2, ""),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", quality_score(F.col("text")).alias("s")
+            ).collect()
+        }
+        assert all(0.0 < s < 1.0 for s in rows.values())
+        assert rows[0] > rows[1]  # prose beats punctuation soup
+
+
+class TestParseJsonFields:
+    def test_typed_extraction_and_null_paths(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, '{"k": 7, "tag": "x"}'),
+                (1, '{"tag": "y"}'),       # missing key → NULL
+                (2, "not json"),            # malformed → NULL fields
+                (3, None),                  # NULL document
+            ],
+            ["i", "props"],
+        )
+        out = parse_json_fields(df, "props", {"k": "bigint", "tag": "string"})
+        assert out.columns == ["i", "k", "tag"]
+        rows = {r["i"]: (r["k"], r["tag"]) for r in out.collect()}
+        assert rows[0] == (7, "x")
+        assert rows[1] == (None, "y")
+        assert rows[2] == (None, None)
+        assert rows[3] == (None, None)
+
+    def test_single_parse_in_plan(self, spark):
+        # the whole point vs get_json_object: N fields, ONE from_json
+        df = spark.createDataFrame([(0, '{"a":1,"b":2}')], ["i", "props"])
+        out = parse_json_fields(df, "props", {"a": "int", "b": "int"})
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("from_json") == 1
+
+    def test_keep_raw_and_empty_fields(self, spark):
+        df = spark.createDataFrame([(0, '{"a":1}')], ["i", "props"])
+        out = parse_json_fields(df, "props", {"a": "int"}, keep_raw=True)
+        assert out.columns == ["i", "props", "a"]
+        with pytest.raises(ValueError):
+            parse_json_fields(df, "props", {})
+
+    def test_json_field_escape_hatch(self, spark):
+        df = spark.createDataFrame([(0, '{"k": 42}')], ["i", "props"])
+        v = df.select(json_field(F.col("props"), "$.k", "bigint").alias("k"))
+        assert v.collect()[0]["k"] == 42
