@@ -864,6 +864,59 @@ def q_json_facets(spark, sf):
     )
 
 
+def q_range_join(spark, sf):
+    # Interval join via time-bucket replication: error events open a
+    # 10-minute window; every same-user event inside a window joins via
+    # an equi-join on (user_id, bucket) — the range is part of the JOIN
+    # KEY, so hot users cost (rows per bucket)², never (rows per user)².
+    # A pair meets in exactly one bucket (the point's), so no dedup.
+    from featurescreening_jl_spark.operators.range_join import range_join
+
+    ev = _t(spark, sf, "events")
+    intervals = ev.where(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    pts = ev.select("user_id", "ts", "value")
+    j = range_join(
+        pts, intervals, by="user_id", bucket_seconds=600
+    )
+    return j.groupBy("interval_id").agg(
+        F.count("*").alias("n_in_window"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_kmv_distinct(spark, sf):
+    # Deterministic KMV cardinality sketch: per event_type, estimate
+    # distinct user_id from the k=64 smallest portable hashes. Unlike
+    # HLL (approx_count_distinct), every number here is a pure function
+    # of the data — the oracle recomputes the identical k-th smallest
+    # md5 hash and the identical (k-1)/u_k estimate.
+    from featurescreening_jl_spark.operators.sketches import kmv_distinct_by
+
+    ev = _t(spark, sf, "events")
+    return kmv_distinct_by(ev, "user_id", by="event_type", k=64)
+
+
+def q_pivot_counts(spark, sf):
+    # Classic OLAP pivot: hour-of-day × event_type count matrix. Pivot
+    # values passed EXPLICITLY so Spark skips the extra distinct-scan
+    # job and the output schema is plan-time stable.
+    ev = _t(spark, sf, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        ev.groupBy(F.hour("ts").alias("hour"))
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "hour", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types]
+        )
+    )
+
+
 def q_cosine_neardup(spark, sf):
     # The round-1 version returned 0 rows on this corpus (max off-diagonal
     # cosine 0.48 < 0.9) — vacuously true against any bug. Near-dups are now
@@ -1116,6 +1169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_validity": q_conv_validity,
         "quality_score": q_quality_score,
         "json_facets": q_json_facets,
+        "range_join": q_range_join,
+        "kmv_distinct": q_kmv_distinct,
+        "pivot_counts": q_pivot_counts,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
@@ -1957,6 +2013,66 @@ def _oracle_sql_base() -> dict[str, str]:
                    SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT
                        AS n_null_k
             FROM p GROUP BY event_type
+        """,
+        # plain non-equi BETWEEN join — DuckDB can afford the naive plan
+        # at sf0.01; Spark runs the bucketed equi-join formulation
+        "range_join": """
+            WITH iv AS (
+              SELECT user_id, event_id AS interval_id, ts AS start_ts,
+                     ts + INTERVAL 10 MINUTE AS end_ts
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT iv.interval_id, COUNT(*)::BIGINT AS n_in_window,
+                   round(SUM(e.value), 4) AS sum_value
+            FROM iv JOIN events e
+              ON e.user_id = iv.user_id
+             AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+            GROUP BY iv.interval_id
+        """,
+        # identical portable md5 hashes → identical k smallest → identical
+        # (k-1)/u_k estimate; n_rows from a plain group count
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+                         / 1152921504606846976.0 AS u
+              FROM events
+            ),
+            rk AS (
+              SELECT event_type, u,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY u) AS rn
+              FROM h
+            ),
+            est AS (
+              SELECT event_type, COUNT(*)::BIGINT AS kmv_k,
+                     MAX(u) AS kmv_max_hash
+              FROM rk WHERE rn <= 64 GROUP BY event_type
+            ),
+            sz AS (
+              SELECT event_type, COUNT(*)::BIGINT AS n_rows
+              FROM events GROUP BY event_type
+            )
+            SELECT s.event_type, s.n_rows, e.kmv_k,
+                   round(CASE WHEN e.kmv_k < 64 THEN e.kmv_k::DOUBLE
+                              ELSE 63.0 / e.kmv_max_hash END, 4)
+                       AS kmv_estimate,
+                   round(e.kmv_max_hash, 8) AS kmv_max_hash
+            FROM sz s JOIN est e USING (event_type)
+        """,
+        "pivot_counts": """
+            SELECT hour(ts)::INT AS hour,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                       END)::BIGINT AS n_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                       END)::BIGINT AS n_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                       END)::BIGINT AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                       END)::BIGINT AS n_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0
+                       END)::BIGINT AS n_view
+            FROM events GROUP BY 1
         """,
         "weighted_reservoir": """
             SELECT doc_id, round(pow(u, 1.0 / w), 8) AS score

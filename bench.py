@@ -80,6 +80,9 @@ HEADLINE = [
     "conv_validity",
     "quality_score",
     "json_facets",
+    "range_join",
+    "kmv_distinct",
+    "pivot_counts",
 ]
 
 

@@ -1,0 +1,134 @@
+"""Interval (range) join and KMV distinct sketch."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from featurescreening_jl_spark.operators.range_join import range_join
+from featurescreening_jl_spark.operators.sketches import kmv_distinct_by
+
+
+def _t(s, us=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s, microseconds=us)
+
+
+def _points(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+
+
+class TestRangeJoin:
+    def test_containment_and_keys(self, spark):
+        pts = _points(
+            spark,
+            [
+                (1, _t(100), 1.0),
+                (1, _t(500), 2.0),   # outside
+                (2, _t(100), 3.0),   # right time, wrong key
+            ],
+        )
+        iv = _intervals(spark, [(1, 10, _t(50), _t(200))])
+        out = range_join(pts, iv, by="user_id", bucket_seconds=60)
+        rows = [(r["interval_id"], r["value"]) for r in out.collect()]
+        assert rows == [(10, 1.0)]
+
+    def test_multi_bucket_interval_matches_each_point_once(self, spark):
+        # interval spans many buckets → replicated rows; every contained
+        # point must appear EXACTLY once (pairs meet only in the point's
+        # own bucket)
+        pts = _points(spark, [(1, _t(s), float(s)) for s in range(0, 300, 30)])
+        iv = _intervals(spark, [(1, 7, _t(0), _t(299))])
+        out = range_join(pts, iv, by="user_id", bucket_seconds=60)
+        vals = sorted(r["value"] for r in out.collect())
+        assert vals == [float(s) for s in range(0, 300, 30)]
+
+    def test_subsecond_boundaries_exact(self, spark):
+        # 1 µs before start is OUT; exactly start is IN; exactly end is
+        # IN (inclusive) / OUT (exclusive) — second-truncated comparison
+        # would get all three wrong
+        pts = _points(
+            spark,
+            [
+                (1, _t(100, -1), 0.1),
+                (1, _t(100, 0), 0.2),
+                (1, _t(200, 0), 0.3),
+            ],
+        )
+        iv = _intervals(spark, [(1, 1, _t(100), _t(200))])
+        inc = range_join(pts, iv, by="user_id", bucket_seconds=60)
+        assert sorted(r["value"] for r in inc.collect()) == [0.2, 0.3]
+        exc = range_join(
+            pts, iv, by="user_id", bucket_seconds=60, inclusive_end=False
+        )
+        assert sorted(r["value"] for r in exc.collect()) == [0.2]
+
+    def test_no_key_join(self, spark):
+        pts = _points(spark, [(1, _t(10), 1.0), (2, _t(999), 2.0)])
+        iv = _intervals(spark, [(5, 1, _t(0), _t(100))]).drop("user_id")
+        out = range_join(pts, iv, bucket_seconds=60)
+        assert [r["value"] for r in out.collect()] == [1.0]
+
+    def test_span_guard_raises_in_plan(self, spark):
+        pts = _points(spark, [(1, _t(0), 1.0)])
+        iv = _intervals(spark, [(1, 1, _t(0), _t(10_000))])
+        bad = range_join(pts, iv, by="user_id", bucket_seconds=10, max_span_buckets=5)
+        with pytest.raises(Exception, match="spans more than"):
+            bad.collect()
+
+    def test_overlapping_columns_rejected(self, spark):
+        pts = _points(spark, [(1, _t(0), 1.0)])
+        iv = _intervals(spark, [(1, 1, _t(0), _t(10))]).withColumn(
+            "value", F.lit(9.9)
+        )
+        with pytest.raises(ValueError, match="non-key columns"):
+            range_join(pts, iv, by="user_id")
+
+    def test_equi_join_on_bucket_in_plan(self, spark):
+        # the whole point vs the naive BETWEEN join: __bucket must be a
+        # JOIN KEY (hash-partitionable), not a post-join filter over a
+        # nested-loop product
+        pts = _points(spark, [(1, _t(0), 1.0)])
+        iv = _intervals(spark, [(1, 1, _t(0), _t(10))])
+        plan = (
+            range_join(pts, iv, by="user_id", bucket_seconds=60)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+        join_line = next(l for l in plan.splitlines() if l.startswith("Join") or " Join" in l)
+        assert "__bucket" in join_line
+        assert "NestedLoop" not in plan
+
+
+class TestKmvDistinct:
+    def test_exact_below_k(self, spark):
+        df = spark.createDataFrame(
+            [("a", i % 7) for i in range(100)] + [("b", i) for i in range(3)],
+            "g string, v long",
+        )
+        rows = {r["g"]: r for r in kmv_distinct_by(df, "v", by="g", k=64).collect()}
+        # fewer distinct values than k → the sketch IS the value set
+        assert rows["a"]["kmv_k"] == 7 and rows["a"]["kmv_estimate"] == 7.0
+        assert rows["b"]["kmv_k"] == 3 and rows["b"]["kmv_estimate"] == 3.0
+        assert rows["a"]["n_rows"] == 100
+
+    def test_estimate_accuracy_and_determinism(self, spark):
+        df = spark.createDataFrame(
+            [("g", i) for i in range(5000)], "g string, v long"
+        )
+        out1 = kmv_distinct_by(df, "v", by="g", k=256).collect()[0]
+        est = out1["kmv_estimate"]
+        assert abs(est - 5000) / 5000 < 0.2  # ~1/sqrt(k) relative error
+        # membership is a pure function of values — invariant to layout
+        out2 = kmv_distinct_by(df.repartition(13), "v", by="g", k=256).collect()[0]
+        assert out1 == out2
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([("g", 1)], "g string, v long")
+        with pytest.raises(ValueError):
+            kmv_distinct_by(df, "v", by="g", k=1)
