@@ -704,6 +704,64 @@ def q_weighted_mix(spark, sf):
     ).select("doc_id", "source_name")
 
 
+def _docs_with_tokens(spark, sf):
+    # whitespace token counts (the text_stats contract) precomputed so the
+    # packing scan never touches text
+    from featurescreening_jl_spark.operators.text_analysis import token_count
+
+    return _t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def q_pack_greedy(spark, sf):
+    # Capacity-respecting sequence packing (first-fit-sequential per hash
+    # group, Arrow cogroup scan — operators/packing.py). The oracle
+    # replays the EXACT sequential scan as a DuckDB recursive CTE over the
+    # same portable hash order, so pack membership, position, and running
+    # fill are all checked row by row.
+    from featurescreening_jl_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(
+        _docs_with_tokens(spark, sf), 500, strategy="greedy", num_groups=4
+    )
+    return out.select("doc_id", "pack_id", "pack_pos", "pack_tokens")
+
+
+def q_pack_offset(spark, sf):
+    # Concat-then-chunk packing: pure window cumsum, pack = the budget
+    # multiple where the doc begins. Same deterministic hash order as
+    # greedy; fully window-SQL-expressible.
+    from featurescreening_jl_spark.operators.packing import pack_sequences
+
+    out = pack_sequences(
+        _docs_with_tokens(spark, sf), 500, strategy="offset", num_groups=4
+    )
+    return out.select("doc_id", "pack_id", "pack_pos", "pack_tokens")
+
+
+def q_token_budget_mix(spark, sf):
+    # Mixture reweighting by TOKEN budget: keep fraction = min(1,
+    # budget/observed source tokens), then the portable per-source hash
+    # filter — exact kept-row membership and the computed fraction are
+    # both oracle-checked. Budgets chosen so one source keeps everything
+    # (frac clamps to 1) and two are genuinely downsampled.
+    from featurescreening_jl_spark.operators.sampling import token_budget_mix
+
+    out = token_budget_mix(
+        _docs_with_tokens(spark, sf),
+        {"src1": 800.0, "src2": 5000.0, "src3": 700.0},
+        token_col="n_tokens",
+        key_col="doc_id",
+        frac_col="keep_frac",
+    )
+    return out.select(
+        "doc_id", "source", F.round("keep_frac", 6).alias("keep_frac")
+    )
+
+
 def q_repetition_stats(spark, sf):
     # Gopher-style within-document repetition signals, computed entirely
     # map-side (zero shuffles — plan-shape-pinned in tests). Line
@@ -1162,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "per_key_cap": q_per_key_cap,
         "weighted_mix": q_weighted_mix,
         "weighted_reservoir": q_weighted_reservoir,
+        "pack_greedy": q_pack_greedy,
+        "pack_offset": q_pack_offset,
+        "token_budget_mix": q_token_budget_mix,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "pii_redaction": q_pii_redaction,
@@ -2116,6 +2177,95 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE doc_id % 2 = 1
               AND ('0x' || substr(md5('42:odd|' || doc_id::VARCHAR), 1, 15))
                       ::BIGINT / 1152921504606846976.0 < 0.5::DOUBLE
+        """,
+        # greedy packing: the sequential first-fit scan replayed as a
+        # recursive CTE — state (acc, pack, pos) advances one row per
+        # group per iteration in the same portable hash order as Spark
+        "pack_greedy": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END)::BIGINT AS t,
+                     ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                         ::BIGINT AS hk
+              FROM documents
+            ), ordered AS (
+              SELECT doc_id, t, hk, hk % 4 AS grp,
+                     row_number() OVER (PARTITION BY hk % 4
+                                        ORDER BY hk, doc_id) AS rn
+              FROM toks
+            ), state AS (
+              SELECT grp, rn, doc_id, t AS acc, 0::BIGINT AS pack, 0 AS pos
+              FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT o.grp, o.rn, o.doc_id,
+                     CASE WHEN s.acc + o.t <= 500 THEN s.acc + o.t
+                          ELSE o.t END,
+                     CASE WHEN s.acc + o.t <= 500 THEN s.pack
+                          ELSE s.pack + 1 END,
+                     CASE WHEN s.acc + o.t <= 500 THEN s.pos + 1 ELSE 0 END
+              FROM state s
+              JOIN ordered o ON o.grp = s.grp AND o.rn = s.rn + 1
+            )
+            SELECT doc_id,
+                   grp * 4294967296 + pack AS pack_id,
+                   pos::INTEGER AS pack_pos,
+                   acc AS pack_tokens
+            FROM state
+        """,
+        # offset packing: window cumsum; pack = floor(start offset/budget)
+        "pack_offset": """
+            WITH toks AS (
+              SELECT doc_id,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END)::BIGINT AS t,
+                     ('0x' || substr(md5('42:' || doc_id::VARCHAR), 1, 15))
+                         ::BIGINT AS hk
+              FROM documents
+            ), staged AS (
+              SELECT doc_id, t, hk, hk % 4 AS grp,
+                     COALESCE(SUM(t) OVER (
+                       PARTITION BY hk % 4 ORDER BY hk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS prev
+              FROM toks
+            )
+            SELECT doc_id,
+                   grp * 4294967296 + prev // 500 AS pack_id,
+                   (row_number() OVER (PARTITION BY grp, prev // 500
+                                       ORDER BY hk, doc_id) - 1)::INTEGER
+                       AS pack_pos,
+                   SUM(t) OVER (PARTITION BY grp, prev // 500
+                                ORDER BY hk, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS pack_tokens
+            FROM staged
+        """,
+        "token_budget_mix": """
+            WITH toks AS (
+              SELECT doc_id, source,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                      END)::BIGINT AS t
+              FROM documents
+            ), tot AS (
+              SELECT source, sum(t) AS tot FROM toks GROUP BY source
+            ), fr AS (
+              SELECT doc_id, toks.source,
+                     CASE toks.source
+                       WHEN 'src1' THEN least(1.0, 800.0 / tot::DOUBLE)
+                       WHEN 'src2' THEN least(1.0, 5000.0 / tot::DOUBLE)
+                       WHEN 'src3' THEN least(1.0, 700.0 / tot::DOUBLE)
+                       ELSE 0.0 END AS frac,
+                     ('0x' || substr(md5('42:' || toks.source || '|' ||
+                                         doc_id::VARCHAR), 1, 15))
+                         ::BIGINT / 1152921504606846976.0 AS u
+              FROM toks JOIN tot USING (source)
+            )
+            SELECT doc_id, source, round(frac, 6) AS keep_frac
+            FROM fr WHERE u < frac
         """,
         "cosine_neardup": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e

@@ -83,6 +83,9 @@ HEADLINE = [
     "range_join",
     "kmv_distinct",
     "pivot_counts",
+    "pack_greedy",
+    "pack_offset",
+    "token_budget_mix",
 ]
 
 

@@ -50,6 +50,7 @@ __all__ = [
     "per_key_cap",
     "weighted_mix",
     "weighted_reservoir",
+    "token_budget_mix",
 ]
 
 # 2^60 — hash60_portable's range; division lands in [0, 1).
@@ -199,6 +200,55 @@ def weighted_reservoir(
         .limit(k)
     )
     return out if score_col else out.drop(name)
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, float],
+    *,
+    source_col: str = "source",
+    token_col: str,
+    key_col: str,
+    seed: int = 42,
+    frac_col: str | None = None,
+) -> DataFrame:
+    """Downsample each source to a TOKEN budget (not a row fraction) —
+    the mixture-reweighting step of corpus assembly ("2B tokens of web,
+    all of wiki"): keep fraction = min(1, budget_tokens / observed source
+    tokens), then the usual per-source hash-deterministic filter. Sources
+    absent from ``budgets`` are dropped (a mixture spec must be total —
+    silence would mean "keep at an undefined rate").
+
+    Two-pass by necessity (the fraction depends on the observed totals):
+    pass 1 is a tiny per-source aggregate (rows = #sources) broadcast back;
+    pass 2 is the map-only hash filter. The kept-row SET is deterministic
+    for a fixed input at any parallelism; ``frac_col`` (optional) exposes
+    each row's keep fraction for audit.
+    """
+    totals = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("__tot")
+    )
+    frac = None
+    for name, budget in budgets.items():
+        cond = F.col(source_col) == F.lit(name)
+        val = F.least(
+            F.lit(1.0), F.lit(float(budget)) / F.col("__tot").cast("double")
+        )
+        frac = F.when(cond, val) if frac is None else frac.when(cond, val)
+    frac = F.lit(0.0) if frac is None else frac.otherwise(F.lit(0.0))
+    u = hash_unit(
+        F.concat_ws("|", F.col(source_col), F.col(key_col).cast("string")),
+        seed,
+    )
+    out = (
+        df.join(F.broadcast(totals), on=source_col)
+        .withColumn("__frac", frac)
+        .where(u < F.col("__frac"))
+        .drop("__tot")
+    )
+    if frac_col is not None:
+        return out.withColumnRenamed("__frac", frac_col)
+    return out.drop("__frac")
 
 
 def weighted_mix(

@@ -232,3 +232,61 @@ class TestWeightedReservoir:
 
         with pytest.raises(ValueError, match="positive"):
             weighted_reservoir(keyed, 0, weight_col="k", key_col="k")
+
+
+class TestTokenBudgetMix:
+    @pytest.fixture(scope="class")
+    def sourced(self, spark):
+        df = spark.range(0, 3_000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias(
+                "source"
+            ),
+            (F.col("id") % 11 + 1).alias("toks"),
+        )
+        df.cache().count()
+        return df
+
+    def test_budget_respected_and_clamped(self, sourced):
+        from featurescreening_jl_spark.operators.sampling import (
+            token_budget_mix,
+        )
+
+        totals = {
+            r["source"]: r["tot"]
+            for r in sourced.groupBy("source")
+            .agg(F.sum("toks").alias("tot"))
+            .collect()
+        }
+        out = token_budget_mix(
+            sourced,
+            {"s0": totals["s0"] / 2.0, "s1": totals["s1"] * 10.0},
+            token_col="toks",
+            key_col="k",
+            frac_col="f",
+        )
+        pdf = out.toPandas()
+        # s2 absent from the spec → dropped entirely
+        assert set(pdf["source"]) == {"s0", "s1"}
+        # s1's budget exceeds its total → fraction clamps to 1, all kept
+        s1 = pdf[pdf["source"] == "s1"]
+        assert len(s1) == 1000 and (s1["f"] == 1.0).all()
+        # s0 kept tokens land near half its total (hash-uniform)
+        kept = pdf[pdf["source"] == "s0"]["toks"].sum()
+        assert abs(kept / totals["s0"] - 0.5) < 0.08
+
+    def test_membership_stable_under_repartition(self, sourced):
+        from featurescreening_jl_spark.operators.sampling import (
+            token_budget_mix,
+        )
+
+        spec = {"s0": 2000.0, "s2": 1500.0}
+        a = token_budget_mix(
+            sourced, spec, token_col="toks", key_col="k"
+        )
+        b = token_budget_mix(
+            sourced.repartition(17), spec, token_col="toks", key_col="k"
+        )
+        assert sorted(r["k"] for r in a.collect()) == sorted(
+            r["k"] for r in b.collect()
+        )
