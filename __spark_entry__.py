@@ -1043,6 +1043,132 @@ def q_dedup_cc_star(spark, sf):
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_keep_best(spark, sf):
+    # cluster-representative dedup: the ngram-Jaccard pair graph (same
+    # graph as dedup_cc) → connected components → keep the LONGEST doc of
+    # each cluster (n_chars score, min-id tiebreak); unpaired docs survive
+    # as singletons. Oracle: recursive-CTE components + a window argmax.
+    from featurescreening_jl_spark.operators.dedup import (
+        keep_best_per_cluster,
+        ngram_jaccard_pairs_indexed,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
+    return keep_best_per_cluster(docs, pairs, score_col="n_chars")
+
+
+def q_chat_render(spark, sf):
+    # conversation → ONE training-format string ("<|role|>text" turns
+    # joined by newline, ordered by turn_idx) + turn/token counts — the
+    # chat-template flattening step before tokenization.
+    from featurescreening_jl_spark.operators.conversations import render_chat
+
+    return render_chat(_transcripts(spark, sf)).select(
+        "conv_id", "rendered", "n_turns", "n_tokens"
+    )
+
+
+def q_doc_chunks(spark, sf):
+    # fixed-size overlapping character chunking (map-side only: sequence →
+    # explode → substring; zero shuffles) — context-window prep for
+    # embedding/retrieval. Aggregated per doc so the oracle hash stays
+    # compact while still pinning every chunk boundary and every byte
+    # (md5 of the ordered chunk concat).
+    from featurescreening_jl_spark.operators.text_analysis import (
+        chunk_documents,
+    )
+
+    ch = chunk_documents(
+        _t(spark, sf, "documents"), chunk_chars=256, overlap=32
+    )
+    return ch.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).alias("sum_chunk_chars"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                    ),
+                    lambda x: x["chunk_text"],
+                ),
+                "",
+            )
+        ).alias("chunks_md5"),
+    )
+
+
+def q_token_histogram(spark, sf):
+    # corpus token-length distribution in fixed 64-token buckets with an
+    # overflow bucket — the sizing pass before packing/truncation budgets.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        token_length_histogram,
+    )
+
+    return token_length_histogram(
+        _t(spark, sf, "documents"), bucket_tokens=64, max_bucket=31
+    )
+
+
+def q_length_quantiles(spark, sf):
+    # EXACT per-language token-count quantiles (linear interpolation, the
+    # quantile_cont definition) — engine-portable corpus sizing stats; the
+    # 100-TB swap-in is approx_percentile (t-digest), with this exact form
+    # as the verifier.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        length_quantiles,
+    )
+
+    q = length_quantiles(_t(spark, sf, "documents"), by="lang")
+    return q.select(
+        "lang",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+        "n_docs",
+    )
+
+
+def q_lm_score(spark, sf):
+    # corpus-trained char-trigram LM, add-one smoothed, self-scored — the
+    # CCNet/KenLM-style quality signal. The oracle recomputes the full
+    # model AND every per-doc average log prob, so both passes (train and
+    # score) are value-checked end-to-end.
+    from featurescreening_jl_spark.operators.lm import ngram_lm_score
+
+    out = ngram_lm_score(_t(spark, sf, "documents"), n=3)
+    return out.select(
+        "doc_id", "n_ngrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
+def q_minhash_incremental(spark, sf):
+    # incremental dedup: a NEW shard (docs ≥ 300 plus exact copies of the
+    # first 20 index docs at id+10000 — guaranteed jaccard-1.0 hits, so
+    # the check is never vacuous) matched against the EXISTING index
+    # (docs < 300) via the shared banding scheme; the oracle brute-forces
+    # exact cross-Jaccard ≥ 0.8 over the same two sides, so banding recall
+    # AND the verify step are both checked end-to-end.
+    from featurescreening_jl_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = docs.where(F.col("doc_id") < 300)
+    new = docs.where(F.col("doc_id") >= 300).select(
+        "doc_id", "text"
+    ).unionByName(
+        docs.where(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 10000).alias("doc_id"), "text"
+        )
+    )
+    out = minhash_lsh_pairs_incremental(index, new, jaccard_threshold=0.8)
+    return out.select(
+        "new_id", "index_id", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
 def q_ngram_jaccard_indexed(spark, sf):
     # inverted-index exact Jaccard — identical semantics (and oracle) to
     # ngram_jaccard, different physical strategy: explode → hash-key
@@ -1208,6 +1334,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": q_simhash_dedup,
         "dedup_cc": q_dedup_cc,
         "dedup_cc_star": q_dedup_cc_star,
+        "keep_best": q_keep_best,
+        "chat_render": q_chat_render,
+        "doc_chunks": q_doc_chunks,
+        "token_histogram": q_token_histogram,
+        "length_quantiles": q_length_quantiles,
+        "lm_score": q_lm_score,
+        "minhash_incremental": q_minhash_incremental,
         "simhash_neardup": q_simhash_neardup,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -1237,6 +1370,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
     }
+
+
+# shared recursive-CTE prefix for the connected-component oracles: the exact
+# ngram-Jaccard pair graph over doc_id < 400 (same graph dedup_cc /
+# dedup_cc_star / keep_best compute in Spark), expanded to per-node minimum
+# reachable id (UNION dedups, so the fixpoint terminates)
+_CC_ORACLE_PREFIX = r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+      FROM (
+        SELECT doc_id,
+               string_split_regex(
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                 ' ') AS toks
+        FROM documents WHERE doc_id < 400
+      )
+      WHERE len(list_distinct(list_transform(
+               range(0, greatest(len(toks) - 3, 0) + 1),
+               i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+               / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      ) WHERE jaccard >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach(id, r) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -1640,8 +1815,135 @@ def _oracle_sql_base() -> dict[str, str]:
         # transitive clustering of the exact-Jaccard pair graph: min
         # reachable id per node via a recursive CTE (UNION dedups, so the
         # fixpoint terminates)
-        "dedup_cc": r"""
-            WITH RECURSIVE sh AS (
+        "dedup_cc": _CC_ORACLE_PREFIX + """
+            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        # cluster-representative selection: same component labels as
+        # dedup_cc, then keep the longest doc per cluster (min-id
+        # tiebreak); docs outside the pair graph are their own cluster
+        "keep_best": _CC_ORACLE_PREFIX + """
+            , comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ),
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component,
+                     d.n_chars
+              FROM (SELECT doc_id, n_chars FROM documents
+                    WHERE doc_id < 400) d
+              LEFT JOIN comp c ON c.id = d.doc_id
+            )
+            SELECT doc_id, component, n_docs, n_chars FROM (
+              SELECT doc_id, component, n_chars,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY n_chars DESC, doc_id)
+                         AS rk,
+                     count(*) OVER (PARTITION BY component) AS n_docs
+              FROM lab
+            ) WHERE rk = 1
+        """,
+        "chat_render": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            r AS (
+              SELECT conv_id,
+                     string_agg('<|' || role || '|>' || coalesce(text, ''),
+                                chr(10) ORDER BY turn_idx) AS rendered,
+                     count(*)::INT AS n_turns
+              FROM t GROUP BY conv_id
+            )
+            SELECT conv_id, rendered, n_turns,
+                   (CASE WHEN length(trim(rendered)) = 0 THEN 0
+                         ELSE len(regexp_split_to_array(trim(rendered),
+                                                        '\\s+'))
+                    END)::INT AS n_tokens
+            FROM r
+        """,
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n
+                       FROM documents),
+            k AS (
+              SELECT doc_id, text,
+                     CASE WHEN n <= 256 THEN 0
+                          ELSE CAST(ceil((n - 256)::DOUBLE / 224) AS INT)
+                     END AS kmax
+              FROM d
+            ),
+            e AS (SELECT doc_id, text,
+                         unnest(range(0, kmax + 1)) AS ci FROM k),
+            c AS (
+              SELECT doc_id, ci::INT AS chunk_idx,
+                     substr(text, ci::INT * 224 + 1, 256) AS chunk_text
+              FROM e
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_chunks,
+                   sum(length(chunk_text))::BIGINT AS sum_chunk_chars,
+                   md5(string_agg(chunk_text, '' ORDER BY chunk_idx))
+                       AS chunks_md5
+            FROM c GROUP BY doc_id
+        """,
+        "token_histogram": """
+            WITH q AS (
+              SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\\s+'))
+                      END)::BIGINT AS t
+              FROM documents
+            ),
+            b AS (SELECT least(t // 64, 31)::INT AS bucket, t FROM q)
+            SELECT bucket, bucket::BIGINT * 64 AS lo_tokens,
+                   count(*)::BIGINT AS n_docs, sum(t)::BIGINT AS sum_tokens
+            FROM b GROUP BY bucket
+        """,
+        "length_quantiles": r"""
+            WITH q AS (
+              SELECT lang,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text),
+                                                          '\s+'))
+                      END)::DOUBLE AS t
+              FROM documents
+            )
+            SELECT lang,
+                   round(quantile_cont(t, 0.5), 6) AS p50,
+                   round(quantile_cont(t, 0.9), 6) AS p90,
+                   round(quantile_cont(t, 0.99), 6) AS p99,
+                   count(*)::BIGINT AS n_docs
+            FROM q GROUP BY lang
+        """,
+        # char-trigram LM: global occurrence counts (train) + per-doc
+        # add-one-smoothed average log prob (score) — both passes
+        # recomputed exactly
+        "lm_score": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, substr(s, i, 3) AS g
+              FROM norm, unnest(range(1, length(s) - 1)) AS u(i)
+              WHERE length(s) >= 3
+            ),
+            model AS (SELECT g, count(*)::DOUBLE AS c FROM tri GROUP BY g),
+            tot AS (SELECT sum(c) AS n, count(*) AS v FROM model)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_ngrams,
+                   round(avg(ln((m.c + 1.0) / (tot.n + tot.v))), 6)
+                       AS avg_logp
+            FROM tri t JOIN model m USING (g), tot
+            GROUP BY t.doc_id
+        """,
+        # incremental dedup: exact cross-Jaccard between the new shard
+        # (docs >= 300 plus id+10000 copies of docs < 20) and the index
+        # (docs < 300) — same shingle definition as minhash_pairs
+        "minhash_incremental": r"""
+            WITH raw_new AS (
+              SELECT doc_id, text FROM documents WHERE doc_id >= 300
+              UNION ALL
+              SELECT doc_id + 10000 AS doc_id, text FROM documents
+              WHERE doc_id < 20
+            ),
+            sh_ix AS (
               SELECT doc_id,
                      list_distinct(list_transform(
                        range(0, greatest(len(toks) - 3, 0) + 1),
@@ -1651,31 +1953,34 @@ def _oracle_sql_base() -> dict[str, str]:
                        string_split_regex(
                          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
                          ' ') AS toks
-                FROM documents WHERE doc_id < 400
+                FROM documents WHERE doc_id < 300
               )
               WHERE len(list_distinct(list_transform(
                        range(0, greatest(len(toks) - 3, 0) + 1),
                        i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
             ),
-            pairs AS (
-              SELECT id_a, id_b FROM (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       len(list_intersect(a.s, b.s))::DOUBLE
-                       / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              ) WHERE jaccard >= 0.3
-            ),
-            edges AS (
-              SELECT id_a AS src, id_b AS dst FROM pairs
-              UNION SELECT id_b, id_a FROM pairs
-            ),
-            nodes AS (SELECT DISTINCT src AS id FROM edges),
-            reach(id, r) AS (
-              SELECT id, id FROM nodes
-              UNION
-              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            sh_new AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM raw_new
+              )
+              WHERE len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
             )
-            SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+            SELECT new_id, index_id, round(jaccard, 4) AS jaccard FROM (
+              SELECT n.doc_id AS new_id, x.doc_id AS index_id,
+                     len(list_intersect(n.s, x.s))::DOUBLE
+                     / len(list_distinct(list_concat(n.s, x.s))) AS jaccard
+              FROM sh_new n JOIN sh_ix x ON true
+            ) WHERE jaccard >= 0.8
         """,
         "simhash_neardup": _simhash_with(
             32,

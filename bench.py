@@ -86,6 +86,13 @@ HEADLINE = [
     "pack_greedy",
     "pack_offset",
     "token_budget_mix",
+    "keep_best",
+    "chat_render",
+    "doc_chunks",
+    "token_histogram",
+    "length_quantiles",
+    "lm_score",
+    "minhash_incremental",
 ]
 
 

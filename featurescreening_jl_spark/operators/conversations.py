@@ -33,6 +33,7 @@ from featurescreening_jl_spark.operators.text_analysis import token_count
 __all__ = [
     "truncate_to_token_budget",
     "conversation_validity",
+    "render_chat",
 ]
 
 
@@ -119,4 +120,54 @@ def conversation_validity(
             & (n_empty == 0)
             & ((pairs == 0) | (rate >= min_alternation))
         ).alias("is_valid"),
+    )
+
+
+def render_chat(
+    df: DataFrame,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Flatten each conversation into ONE training-format string:
+    turns ordered by ``order_col``, each rendered ``<|role|>text``,
+    joined with ``sep`` — the chat-template step that turns a transcript
+    table into rows a tokenizer consumes (the reference consumes exactly
+    such flattened per-sample rows, `/root/reference/screen:49-83`).
+
+    Pure built-in expressions: ``collect_list(struct(order, role, text))``
+    (map-side partials, one shuffle on ``by``) → ``array_sort`` on the
+    struct (orders by the leading ``order_col`` field — deterministic
+    regardless of arrival order) → ``transform`` + ``array_join``. State
+    per group is one conversation's turns — the same bound every
+    conversation-level operator in this module already carries; no UDF,
+    no driver collect.
+
+    Output: ``by``, ``rendered`` (the flat string), ``n_turns``,
+    ``n_tokens`` (whitespace tokens of the rendered string).
+    """
+    from featurescreening_jl_spark.operators.text_analysis import token_count
+
+    turn = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(role_col).alias("r"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    agg = df.groupBy(by).agg(
+        F.array_sort(F.collect_list(turn)).alias("__turns")
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.col("__turns"),
+            lambda x: F.concat(F.lit("<|"), x["r"], F.lit("|>"), x["t"]),
+        ),
+        sep,
+    )
+    return agg.select(
+        by,
+        rendered.alias("rendered"),
+        F.size("__turns").alias("n_turns"),
+        token_count(rendered).alias("n_tokens"),
     )

@@ -34,6 +34,8 @@ __all__ = [
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_indexed",
+    "keep_best_per_cluster",
+    "minhash_lsh_pairs_incremental",
 ]
 
 
@@ -136,6 +138,44 @@ def minhash_signature(shingle_col, num_hashes: int = 64):
     return F.array(*[min_hash_with_salt(s) for s in range(num_hashes)])
 
 
+def _band_table(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) LSH banding of a (id, __sh shingle-array) frame:
+    minhash signature projection (no shuffle) → one row per band with the
+    band's signature slice hashed to an 8-byte bucket key. Shared by the
+    self-join (:func:`minhash_lsh_pairs`) and incremental
+    (:func:`minhash_lsh_pairs_incremental`) candidate generators so the
+    two sides of an incremental join bucket IDENTICALLY by construction.
+    """
+    rows_per_band = num_hashes // bands
+    sig = sh.select(
+        id_col, minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("__sig")[b * rows_per_band + r]
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -163,35 +203,10 @@ def minhash_lsh_pairs(
     is no longer guaranteed, so the cap is opt-in and every capped bucket
     is logged (never silent).
     """
-    rows_per_band = num_hashes // bands
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
     ).where(F.size("__sh") > 0)
-    sig = sh.select(
-        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
-    )
-    banded = sig.select(
-        id_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("__sig")[b * rows_per_band + r]
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__bb"),
-    ).select(id_col, "__bb.band", "__bb.bucket")
+    banded = _band_table(sh, id_col, num_hashes, bands)
 
     if max_bucket_size is not None:
         banded = _cap_buckets(
@@ -258,6 +273,79 @@ def minhash_dedup(
     else:
         losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def minhash_lsh_pairs_incremental(
+    index: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: match a NEW shard against an
+    EXISTING corpus index without re-pairing the corpus with itself — the
+    shape of production ingestion, where each arriving shard is deduped
+    against everything already accepted (new-vs-new pairs are
+    :func:`minhash_lsh_pairs` on the shard alone; run both, union the
+    pair graphs).
+
+    Returns ``(new_id, index_id, jaccard)``: every (new doc, index doc)
+    pair whose true shingle Jaccard is ≥ ``jaccard_threshold``, found via
+    the SAME banding scheme as :func:`minhash_lsh_pairs` (shared
+    :func:`_band_table`, so a pair that collides in the self-join setting
+    collides here by construction) and then exactly verified.
+
+    Scale shape: in production the index's banded table is the
+    precomputed artifact (computed once per corpus version, stored
+    bucket-partitioned); per shard, only the NEW side computes signatures.
+    The candidate join is new-banded ⋈ index-banded on (band, bucket) —
+    cost proportional to bucket collisions, never |new| × |index|. With
+    AQE the small (shard) side broadcasts. ``max_bucket_size`` caps hot
+    index buckets exactly like the self-join variant (logged, never
+    silent; recall is no longer guaranteed above the cap).
+    """
+    sh_ix = index.select(
+        F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    sh_new = new.select(
+        F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
+    ).where(F.size("__sh") > 0)
+    b_ix = _band_table(sh_ix, id_col, num_hashes, bands)
+    if max_bucket_size is not None:
+        b_ix = _cap_buckets(
+            b_ix, ["band", "bucket"], max_bucket_size,
+            "minhash_lsh_pairs_incremental",
+        )
+    b_new = _band_table(sh_new, id_col, num_hashes, bands)
+    n = b_new.select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    ).alias("n")
+    x = b_ix.select(
+        F.col(id_col).alias("index_id"), "band", "bucket"
+    ).alias("x")
+    cand = (
+        n.join(x, on=["band", "bucket"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    a = sh_new.select(F.col(id_col).alias("new_id"), F.col("__sh").alias("__sh_a"))
+    b = sh_ix.select(F.col(id_col).alias("index_id"), F.col("__sh").alias("__sh_b"))
+    return (
+        cand.join(a, "new_id")
+        .join(b, "index_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sh_a", "__sh_b"))
+            / F.size(F.array_union("__sh_a", "__sh_b")),
+        )
+        .where(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "index_id", "jaccard")
+    )
 
 
 def simhash(text, num_bits: int = 64, shingle_n: int = 3,
@@ -501,4 +589,60 @@ def ngram_jaccard_pairs_indexed(
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    algorithm: str = "minlabel",
+) -> DataFrame:
+    """Cluster-representative selection: given a near-duplicate pair graph,
+    keep exactly ONE document per transitive duplicate cluster — the one
+    with the highest ``score_col`` (ties broken by lowest id, so the result
+    is deterministic). Documents in no pair survive as their own cluster.
+
+    This is the policy step that follows any pair-producing dedup operator
+    (:func:`minhash_lsh_pairs`, :func:`simhash_neardup_pairs`,
+    :func:`ngram_jaccard_pairs_indexed`, winnowing): production corpus
+    dedup keeps the *best* variant (longest, highest quality score), not an
+    arbitrary min-id one (the reference's screening loop, by analogy,
+    keeps the highest-importance feature of each redundant group —
+    `/root/reference/src/FeatureScreening.jl:163-171`).
+
+    Scale shape: clusters come from :func:`connected_components` over the
+    pair graph (only paired ids — a small fraction of the corpus), the
+    label table joins back to ``df`` on ``id_col`` (AQE broadcasts it when
+    small), and the argmax is one ``row_number`` window partitioned by
+    ``component`` — dup clusters are near-cliques, so partitions are tiny
+    and the full corpus never collects anywhere.
+
+    Output: one row per surviving document — ``id_col``, ``component``
+    (cluster label; equals the id itself for singletons), ``n_docs``
+    (cluster size), and ``score_col``.
+    """
+    from pyspark.sql import Window
+
+    from featurescreening_jl_spark.operators.graph import (
+        connected_components,
+    )
+
+    cc = connected_components(pairs, "id_a", "id_b", algorithm=algorithm)
+    labeled = df.select(id_col, score_col).join(
+        cc.withColumnRenamed("id", id_col), on=id_col, how="left"
+    )
+    labeled = labeled.withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    cluster = Window.partitionBy("component")
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(cluster))
+        .where(F.col("__rk") == 1)
+        .select(id_col, "component", "n_docs", score_col)
     )

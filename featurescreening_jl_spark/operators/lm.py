@@ -1,0 +1,137 @@
+"""Corpus-trained character n-gram language model scoring — the
+self-supervised quality signal LLM-corpus pipelines use (CCNet/KenLM
+style): documents whose character statistics diverge from the corpus
+(mojibake, binary spill, boilerplate soup) score low average log
+probability and can be filtered or bucketed by score.
+
+Two passes over the corpus, both declarative:
+
+1. **Train** — count every character ``n``-gram corpus-wide. The model
+   table is bounded by the alphabet size to the ``n``-th power (NOT by
+   corpus size), so at 100 TB it is still a few million rows — one
+   map-side-combined hash aggregate, then broadcastable.
+2. **Score** — re-stream the corpus, explode each document's grams, hash
+   join against the broadcast model, aggregate per document. The corpus
+   side never shuffles except the final per-doc aggregate (map-side
+   partials on ``id_col``, which parquet row-groups already cluster).
+
+Add-one (Laplace) smoothing: ``p(g) = (c(g) + 1) / (N + V)`` with ``N``
+total gram occurrences and ``V`` distinct grams — unseen grams (possible
+when scoring a shard against a model trained elsewhere) get mass instead
+of -inf.
+
+Reference scope: FeatureScreening.jl has no corpus operators; this is
+part of the LLM-training-data graft layer (same family as
+``operators/text_analysis.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngram_counts", "ngram_lm_score"]
+
+
+def _exploded_char_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """One row per character ``n``-gram occurrence (NOT distinct — LM
+    counts are occurrence counts), over whitespace-normalized lowercase
+    text. Documents shorter than ``n`` yield no rows.
+
+    Both optimizer traps pinned elsewhere in this package are avoided:
+    the normalized string is bound as a LAMBDA VARIABLE via
+    ``transform(array(norm), s -> …)`` so CollapseProject cannot inline
+    the regexp into every per-gram element (O(len²) re-evaluation —
+    see ``winnow_fingerprints``), and the explode is ``explode_outer``
+    + null filter so ``InferFiltersFromGenerate`` cannot clone the gram
+    expression into a pre-projection filter (see
+    ``winnow_candidate_pairs``).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+
+    def grams_of(s):
+        return F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - n + 1),
+                lambda i: s.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(norm), grams_of), 1)
+    return (
+        df.select(F.col(id_col), F.explode_outer(grams).alias("__g"))
+        .where(F.col("__g").isNotNull())
+    )
+
+
+def char_ngram_counts(
+    df: DataFrame,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The LM "training" pass: corpus-wide occurrence counts per character
+    ``n``-gram. Output: ``gram``, ``c`` (occurrences). One hash aggregate
+    — map-side partial combine keeps the shuffle bounded by the gram
+    vocabulary per task, not by corpus rows."""
+    return (
+        _exploded_char_grams(df, id_col, text_col, n)
+        .groupBy(F.col("__g").alias("gram"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def ngram_lm_score(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Per-document average log probability under an add-one-smoothed
+    character ``n``-gram model. ``model`` defaults to training on ``df``
+    itself (the CCNet-style self-scoring setup); pass a precomputed
+    :func:`char_ngram_counts` output to score a shard against a reference
+    corpus model.
+
+    Output: ``id_col``, ``n_ngrams`` (gram occurrences scored),
+    ``avg_logp`` (mean natural-log probability; higher = more typical).
+    Documents shorter than ``n`` characters produce no row (they have no
+    grams — gate them with ``text_stats`` length filters instead).
+
+    Scale shape: the model is bounded by alphabet^n and broadcast
+    (``broadcast_model=True``, the default); the corpus streams map-side
+    through the join. Unseen grams (left-anti cases when scoring against
+    an external model) still score via the smoothing floor — the join is
+    LEFT and ``c`` coalesces to 0.
+    """
+    if model is None:
+        model = char_ngram_counts(df, n, id_col=id_col, text_col=text_col)
+    totals = model.agg(
+        F.sum("c").alias("__N"), F.count(F.lit(1)).alias("__V")
+    )
+    m = model.select(F.col("gram").alias("__mg"), F.col("c").alias("__c"))
+    if broadcast_model:
+        m = F.broadcast(m)
+    grams = _exploded_char_grams(df, id_col, text_col, n)
+    scored = (
+        grams.join(m, grams["__g"] == m["__mg"], "left")
+        .join(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("__c"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__N") + F.col("__V"))
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.avg("__lp").alias("avg_logp"),
+    )

@@ -24,6 +24,9 @@ __all__ = [
     "pii_stats",
     "redact_pii",
     "quality_score",
+    "chunk_documents",
+    "token_length_histogram",
+    "length_quantiles",
 ]
 
 # Fixed public weights for the logistic quality scorer — a C4/Gopher-style
@@ -508,4 +511,128 @@ def document_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         out.withColumn("lang_pred", language_id(text))
         .withColumn("fingerprint", fingerprint(text))
         .withColumn("bpe_ish_tokens", bpe_ish_token_count(text).cast("double"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size overlapping character chunks —
+    the context-window prep step for embedding/retrieval pipelines (and
+    the row-explosion dual of sequence packing in packing.py).
+
+    Chunk ``i`` covers characters ``[i*stride, i*stride + chunk_chars)``
+    with ``stride = chunk_chars - overlap``; the last chunk is the first
+    one whose window reaches the end of the document (so every character
+    lands in ≥1 chunk and no chunk starts past the end). A document
+    shorter than ``chunk_chars`` (including empty) yields exactly one
+    chunk.
+
+    Pure map-side plan — ``sequence`` → ``explode`` → ``substring``,
+    no shuffle, no UDF: at 100 TB this runs entirely inside the scan
+    stage and parallelizes with the input splits.
+
+    Output: ``id_col``, ``chunk_idx`` (0-based), ``chunk_start``
+    (0-based char offset), ``chunk_text``.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})"
+        )
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    last = F.when(n <= chunk_chars, F.lit(0)).otherwise(
+        F.ceil((n - chunk_chars) / F.lit(stride)).cast("int")
+    )
+    return (
+        df.select(
+            id_col,
+            F.col(text_col).alias("__t"),
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            (F.col("chunk_idx").cast("bigint") * stride).alias("chunk_start"),
+            F.substring(
+                F.col("__t"),
+                F.col("chunk_idx") * stride + 1,
+                F.lit(chunk_chars),
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def token_length_histogram(
+    df: DataFrame,
+    bucket_tokens: int = 64,
+    max_bucket: int = 31,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-length distribution of a corpus: fixed-width buckets of
+    ``bucket_tokens`` whitespace tokens, clamped to ``max_bucket`` (the
+    overflow bucket), with per-bucket document counts and token totals.
+    The first thing to look at before choosing packing/truncation
+    budgets; one hash aggregate (map-side partials), integer-exact in
+    any engine.
+
+    Output: ``bucket`` (0-based), ``lo_tokens`` (inclusive lower edge),
+    ``n_docs``, ``sum_tokens``.
+    """
+    t = token_count(F.col(text_col)).cast("long")
+    bucket = F.least(
+        F.floor(t / F.lit(bucket_tokens)), F.lit(max_bucket)
+    ).cast("int")
+    return (
+        df.select(bucket.alias("bucket"), t.alias("__t"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__t").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket").cast("long") * bucket_tokens).alias("lo_tokens"),
+            "n_docs",
+            "sum_tokens",
+        )
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    by: str = "lang",
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT token-count quantiles per group (linear interpolation, the
+    ``quantile_cont`` definition) — the corpus-sizing companion to
+    :func:`token_length_histogram`: histograms show the shape, quantiles
+    give the cut points packing/truncation budgets are set from.
+
+    Exactness is deliberate so the result is engine-portable (DuckDB
+    ``quantile_cont`` reproduces it bit-for-bit); it costs a per-group
+    sort bounded by the group's row count. At 100-TB corpus scale swap
+    in ``F.approx_percentile`` (t-digest sketch, mergeable, map-side
+    partials, no sort) — same call shape, rank error ≤ 1/accuracy;
+    the exact form stays the verifier.
+
+    Output: ``by``, ``p<prob>`` per requested quantile (double),
+    ``n_docs``.
+    """
+    t = token_count(F.col(text_col)).cast("double")
+    aggs = [
+        F.percentile(F.col("__t"), F.lit(float(p))).alias(
+            f"p{str(p)[2:].ljust(2, '0')}"
+        )
+        for p in probs
+    ]
+    return (
+        df.select(F.col(by), t.alias("__t"))
+        .groupBy(by)
+        .agg(*aggs, F.count(F.lit(1)).alias("n_docs"))
     )

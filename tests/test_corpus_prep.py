@@ -1,0 +1,258 @@
+"""Corpus-prep operators added late in round 3: chat-template rendering
+(operators/conversations.render_chat), fixed-size overlapping chunking
+(operators/text_analysis.chunk_documents), token-length histograms
+(operators/text_analysis.token_length_histogram), and cluster-representative
+dedup (operators/dedup.keep_best_per_cluster).
+
+Scale properties pinned here: chunk_documents must stay MAP-ONLY (zero
+exchanges — sequence → explode → substring runs inside the scan stage),
+and render_chat must order turns deterministically regardless of input
+row order (array_sort on the struct, not input arrival).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.conversations import render_chat
+from featurescreening_jl_spark.operators.dedup import (
+    keep_best_per_cluster,
+    minhash_lsh_pairs_incremental,
+)
+from featurescreening_jl_spark.operators.lm import (
+    char_ngram_counts,
+    ngram_lm_score,
+)
+from featurescreening_jl_spark.operators.text_analysis import (
+    chunk_documents,
+    length_quantiles,
+    token_length_histogram,
+)
+
+pytestmark = pytest.mark.spark
+
+
+class TestRenderChat:
+    def test_golden_and_order_invariance(self, spark):
+        # turns deliberately out of order; one NULL text
+        rows = [
+            ("c1", 2, "user", "third"),
+            ("c1", 0, "system", "first"),
+            ("c1", 1, "assistant", None),
+            ("c2", 0, "user", "solo turn"),
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text"]
+        )
+        out = {r["conv_id"]: r for r in render_chat(df).collect()}
+        assert (
+            out["c1"]["rendered"]
+            == "<|system|>first\n<|assistant|>\n<|user|>third"
+        )
+        assert out["c1"]["n_turns"] == 3
+        # whitespace tokens of the rendered string (newlines separate)
+        assert out["c1"]["n_tokens"] == 3
+        assert out["c2"]["rendered"] == "<|user|>solo turn"
+        assert out["c2"]["n_tokens"] == 2
+
+        # shuffled input must render identically
+        out2 = {
+            r["conv_id"]: r["rendered"]
+            for r in render_chat(
+                df.orderBy(F.rand(seed=7))
+            ).collect()
+        }
+        assert out2 == {k: v["rendered"] for k, v in out.items()}
+
+
+class TestChunkDocuments:
+    def test_boundaries_and_coverage(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, "abcdefghij"),  # 10 chars: chunks at 0,6 (size 8, ov 2)
+                (1, "abc"),  # shorter than chunk → exactly one chunk
+                (2, ""),  # empty → one empty chunk
+                (3, "abcdefgh"),  # exactly chunk_chars → one chunk
+            ],
+            ["doc_id", "text"],
+        )
+        out = chunk_documents(df, chunk_chars=8, overlap=2).collect()
+        by_doc: dict[int, list] = {}
+        for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        assert [c["chunk_text"] for c in by_doc[0]] == ["abcdefgh", "ghij"]
+        assert [c["chunk_start"] for c in by_doc[0]] == [0, 6]
+        assert [c["chunk_text"] for c in by_doc[1]] == ["abc"]
+        assert [c["chunk_text"] for c in by_doc[2]] == [""]
+        assert [c["chunk_text"] for c in by_doc[3]] == ["abcdefgh"]
+        # every character covered: union of [start, start+len) == doc
+        for doc_id, chunks in by_doc.items():
+            covered = set()
+            for c in chunks:
+                covered |= set(
+                    range(c["chunk_start"], c["chunk_start"] + len(c["chunk_text"]))
+                )
+            n = {0: 10, 1: 3, 2: 0, 3: 8}[doc_id]
+            assert covered == set(range(n))
+
+    def test_rejects_bad_overlap(self, spark):
+        df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        with pytest.raises(ValueError):
+            chunk_documents(df, chunk_chars=8, overlap=8)
+
+    def test_map_only_plan(self, spark):
+        df = spark.createDataFrame([(0, "abc" * 100)], ["doc_id", "text"])
+        plan = (
+            chunk_documents(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestTokenLengthHistogram:
+    def test_buckets_and_overflow(self, spark):
+        df = spark.createDataFrame(
+            [
+                (0, ""),  # 0 tokens → bucket 0
+                (1, "a b c"),  # 3 tokens → bucket 0
+                (2, " ".join(["t"] * 4)),  # 4 → bucket 1 (width 4)
+                (3, " ".join(["t"] * 100)),  # clamps to max_bucket 2
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["bucket"]: r
+            for r in token_length_histogram(
+                df, bucket_tokens=4, max_bucket=2
+            ).collect()
+        }
+        assert out[0]["n_docs"] == 2 and out[0]["sum_tokens"] == 3
+        assert out[0]["lo_tokens"] == 0
+        assert out[1]["n_docs"] == 1 and out[1]["sum_tokens"] == 4
+        assert out[1]["lo_tokens"] == 4
+        assert out[2]["n_docs"] == 1 and out[2]["sum_tokens"] == 100
+        assert out[2]["lo_tokens"] == 8
+
+
+class TestKeepBestPerCluster:
+    def test_argmax_ties_and_singletons(self, spark):
+        docs = spark.createDataFrame(
+            [(i, s) for i, s in [(1, 10.0), (2, 30.0), (3, 30.0),
+                                 (4, 5.0), (5, 99.0)]],
+            ["doc_id", "score"],
+        )
+        # clusters: {1,2,3} (chain), {4} via pair 4-4? no — 4 unpaired,
+        # 5 unpaired → singletons
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], ["id_a", "id_b"]
+        )
+        out = {r["doc_id"]: r for r in
+               keep_best_per_cluster(docs, pairs, "score").collect()}
+        # cluster {1,2,3}: max score 30 shared by 2 and 3 → lowest id (2)
+        assert set(out) == {2, 4, 5}
+        assert out[2]["n_docs"] == 3 and out[2]["component"] == 1
+        assert out[4]["n_docs"] == 1 and out[4]["component"] == 4
+        assert out[5]["n_docs"] == 1 and out[5]["component"] == 5
+
+
+class TestNgramLmScore:
+    def test_self_scored_golden(self, spark):
+        import math
+
+        # grams (n=3): "abab" -> aba, bab; "ab" -> none (too short, no row)
+        df = spark.createDataFrame(
+            [(0, "abab"), (1, "ab")], ["doc_id", "text"]
+        )
+        model = {r["gram"]: r["c"] for r in char_ngram_counts(df).collect()}
+        assert model == {"aba": 1, "bab": 1}
+        out = {r["doc_id"]: r for r in ngram_lm_score(df).collect()}
+        # N=2 occurrences, V=2 distinct -> p(g) = (1+1)/(2+2) = 0.5 each
+        assert set(out) == {0}
+        assert out[0]["n_ngrams"] == 2
+        assert out[0]["avg_logp"] == pytest.approx(math.log(0.5))
+
+    def test_external_model_unseen_grams(self, spark):
+        import math
+
+        corpus = spark.createDataFrame([(0, "abab")], ["doc_id", "text"])
+        model = char_ngram_counts(corpus)
+        shard = spark.createDataFrame([(9, "xyz")], ["doc_id", "text"])
+        out = ngram_lm_score(shard, model=model).collect()
+        # unseen gram "xyz": p = (0+1)/(2+2) = 0.25 via the smoothing floor
+        assert len(out) == 1
+        assert out[0]["n_ngrams"] == 1
+        assert out[0]["avg_logp"] == pytest.approx(math.log(0.25))
+
+    def test_normalization_matches_text_stats(self, spark):
+        # whitespace collapses and case folds before gramming
+        df = spark.createDataFrame([(0, "A  B"), (1, "a b")],
+                                   ["doc_id", "text"])
+        out = {r["doc_id"]: r["avg_logp"]
+               for r in ngram_lm_score(df).collect()}
+        assert out[0] == pytest.approx(out[1])
+
+
+class TestLengthQuantiles:
+    def test_linear_interpolation_golden(self, spark):
+        # token counts per group g: [1, 2, 3, 10]
+        df = spark.createDataFrame(
+            [("g", "t"), ("g", "t t"), ("g", "t t t"),
+             ("g", " ".join(["t"] * 10))],
+            ["lang", "text"],
+        )
+        r = length_quantiles(df, by="lang", probs=(0.5, 0.9)).collect()[0]
+        # quantile_cont: p50 = 2.5; p90 = 3 + 0.7*(10-3) = 7.9
+        assert r["n_docs"] == 4
+        assert r["p50"] == pytest.approx(2.5)
+        assert r["p90"] == pytest.approx(7.9)
+
+
+class TestMinhashIncremental:
+    def test_exact_copy_found_distinct_not(self, spark):
+        base = (
+            "the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field until the sun goes down"
+        )
+        other = (
+            "completely different content about spark physical plans "
+            "and shuffle partitioning strategy at terabyte scale today"
+        )
+        index = spark.createDataFrame(
+            [(0, base), (1, other)], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [(100, base), (101, "unrelated fresh shard text with nothing "
+                                "shared across any shingle at all here")],
+            ["doc_id", "text"],
+        )
+        out = minhash_lsh_pairs_incremental(
+            index, new, jaccard_threshold=0.8
+        ).collect()
+        assert [(r["new_id"], r["index_id"], r["jaccard"])
+                for r in out] == [(100, 0, 1.0)]
+
+    def test_banding_matches_self_join_scheme(self, spark):
+        # a pair that collides for the self-join variant must collide
+        # incrementally too (shared _band_table) — near-identical docs
+        from featurescreening_jl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon")
+        b = a + " phi"
+        both = spark.createDataFrame([(0, a), (1, b)], ["doc_id", "text"])
+        self_pairs = minhash_lsh_pairs(both, jaccard_threshold=0.7).collect()
+        inc = minhash_lsh_pairs_incremental(
+            both.where(F.col("doc_id") == 0),
+            both.where(F.col("doc_id") == 1),
+            jaccard_threshold=0.7,
+        ).collect()
+        assert (len(self_pairs) == 1) == (len(inc) == 1)
+        if inc:
+            assert inc[0]["jaccard"] == pytest.approx(
+                self_pairs[0]["jaccard"]
+            )
