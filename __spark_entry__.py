@@ -23,7 +23,18 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # The sf-scale documents table is ONE parquet row group, so Spark
+        # gives the scan exactly one input split — and every map-side
+        # per-document stage (shingling, minhash, simhash, LM scoring,
+        # repetition stats) would serialize onto a single core no matter
+        # the cluster size. Fan it out once here (the table is ~2 MB at
+        # sf0.1, the shuffle is free). At production scale the scan has
+        # thousands of row-group splits and this repartition would be
+        # omitted — the operators themselves stay map-side.
+        df = df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -110,19 +110,40 @@ def dedup_exact(
 
 
 def shingles(text, n: int = 3, words: bool = True):
-    """n-gram shingle array: word n-grams (default) or char n-grams."""
+    """n-gram shingle array: word n-grams (default) or char n-grams.
+
+    The token array / normalized string is bound as a LAMBDA VARIABLE
+    (via the ``transform(array(x), ...)`` trick) before the per-index
+    lambda touches it: referencing the raw ``split(regexp_replace(...))``
+    expression inside the lambda embeds it in the lambda body, and HOF
+    eval re-computes it for EVERY index — O(len · n_tokens) per document
+    (measured: 12.4 s → ~1 s for the shingle stage of a 4,700-doc
+    sf0.1 slice, and this function sits under the whole dedup family)."""
     if words:
-        toks = F.split(_norm(text), " ")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        def grams_of(tk):
+            idx = F.sequence(
+                F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))
             )
+            return F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n))
+                )
+            )
+
+        toks = F.split(_norm(text), " ")
+        return F.element_at(F.transform(F.array(toks), grams_of), 1)
+
+    def char_grams_of(t):
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1))
         )
-    t = _norm(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - n + 1, F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(n))))
+        return F.array_distinct(
+            F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+        )
+
+    return F.element_at(
+        F.transform(F.array(_norm(text)), char_grams_of), 1
+    )
 
 
 def minhash_signature(shingle_col, num_hashes: int = 64):
@@ -512,7 +533,18 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
     ).where(F.size("__sh") > 0)
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    # The broadcast nested-loop join parallelizes over PROBE-side
+    # partitions; a small candidate set usually arrives as one partition
+    # (one parquet split), which would serialize the whole O(n²) compare
+    # onto a single core. Spread the probe side across all cores first —
+    # with an EXPLICIT partition count, because the shuffled rows (id,
+    # shingle array) are tiny and AQE would coalesce a count-less
+    # repartition right back to one partition; the per-pair
+    # intersect/union compute, invisible to AQE's size stats, dominates
+    # by orders of magnitude.
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a")
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, F.col("id_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

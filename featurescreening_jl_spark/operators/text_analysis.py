@@ -406,15 +406,24 @@ def repetition_stats(
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " "
     )
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.array_sort(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - 1),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def bigram_array(tk):
+        # tk is a LAMBDA VARIABLE (array(toks) binding): referencing the
+        # raw `toks` expression inside the per-index lambda would embed
+        # the full split(regexp_replace(...)) in the lambda body, which
+        # HOF eval re-computes for EVERY element — O(len · n_tokens) per
+        # document (measured 24 s → 4 s at sf0.1 for this operator).
+        return F.when(
+            F.size(tk) >= 2,
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - 1),
+                    lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    bigrams = F.element_at(F.transform(F.array(toks), bigram_array), 1)
 
     def run_stats(bg):
         # longest run of equal adjacent elements in the sorted array =
