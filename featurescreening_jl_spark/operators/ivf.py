@@ -131,7 +131,14 @@ def assign_cells(
     cell-invariant). First-max tie-break via ``array_position`` —
     deterministic. Pure expression: no UDF, no shuffle, no action."""
     dots = _centroid_dots(F.col(vec_col), centroids)
-    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+    def argmax_cell(d):
+        # d is a LAMBDA VARIABLE (array(dots) binding): inlining `dots`
+        # twice (array_position + array_max) would evaluate the full
+        # k_cells × dim dot-product array TWICE per row.
+        return (F.array_position(d, F.array_max(d)) - 1).cast("int")
+
+    cell = F.element_at(F.transform(F.array(dots), argmax_cell), 1)
     return df.withColumn(cell_col, cell)
 
 

@@ -229,14 +229,22 @@ def winnow_fingerprints(
     over all grams (min of what exists).
     """
     t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    n_grams = F.length(t) - F.lit(k) + 1
-    grams = F.when(
-        n_grams >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.substring(F.md5(t.substr(i, F.lit(k))), 1, 15),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def grams_of(tt):
+        # tt is a LAMBDA VARIABLE (array(t) binding): referencing the raw
+        # regexp_replace expression inside the per-gram lambda would make
+        # HOF eval re-run the regexp for EVERY gram position — O(len²)
+        # per document (same trap class as the winnow() binding below).
+        n_grams = F.length(tt) - F.lit(k) + 1
+        return F.when(
+            n_grams >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_grams),
+                lambda i: F.substring(F.md5(tt.substr(i, F.lit(k))), 1, 15),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = F.element_at(F.transform(F.array(t), grams_of), 1)
 
     def winnow(g):
         # g is a LAMBDA VARIABLE bound to the computed gram array — NOT a
