@@ -111,31 +111,31 @@ def main() -> None:
     # warm the JVM/codegen once with a cheap query
     materialize(qs["hash_count_agg"](spark, SF_DIR))
 
+    # optional argv subset for iteration: `python bench.py q1 q2 ...`
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         t0 = time.perf_counter()
         materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    # screening-round throughput: events processed per second through the
-    # full featurize→screen pipeline (the BASELINE.md target metric)
-    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
-    turns_per_sec = round(n_events / timings["screen_pipeline"], 1)
-
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": SF_DIR,
-                "cpus": CPUS,
-                "screen_turns_per_sec": turns_per_sec,
-            }
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+    }
+    if "screen_pipeline" in timings:
+        # screening-round throughput: events processed per second through
+        # the full featurize→screen pipeline (the BASELINE.md target metric)
+        n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        out["screen_turns_per_sec"] = round(
+            n_events / timings["screen_pipeline"], 1
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

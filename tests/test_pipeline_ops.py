@@ -469,3 +469,36 @@ class TestNgramJaccardIndexed:
 
         with pytest.raises(ValueError, match="threshold"):
             ngram_jaccard_pairs_indexed(documents, threshold=0.0)
+
+    def test_hash_collision_pair_not_falsely_emitted(self, spark):
+        """Phase-1 candidates join on hash(shingle); a collision between
+        DISTINCT shingles may create a candidate pair, but phase 2's exact
+        string verification must reject it. Inject a degenerate hash that
+        collides EVERYTHING and assert the output still equals the exact
+        cross-join result (no false pairs, no inflated jaccard)."""
+        from featurescreening_jl_spark.operators.dedup import (
+            ngram_jaccard_pairs_indexed,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta zeta"),  # 2/6 trigram overlap w/ 1
+                (3, "one two three four five"),  # zero overlap with 1 and 2
+                (4, "six seven eight nine ten"),  # zero overlap with all
+            ],
+            ["doc_id", "text"],
+        )
+        collide_all = lambda s: F.lit(0).cast("bigint")
+        exact = ngram_jaccard_pairs(df, shingle_n=3, threshold=0.25).toPandas()
+        out = ngram_jaccard_pairs_indexed(
+            df, shingle_n=3, threshold=0.25, _hash=collide_all
+        ).toPandas()
+        key = lambda p: sorted(
+            (int(r.id_a), int(r.id_b), round(float(r.jaccard), 9))
+            for r in p.itertuples()
+        )
+        assert key(out) == key(exact)
+        # non-vacuous: the collision hash really did make every cross pair
+        # a phase-1 candidate, so phase 2 must have rejected (3,4) etc.
+        assert len(exact) == 1 and (exact.id_a[0], exact.id_b[0]) == (1, 2)
