@@ -510,7 +510,7 @@ def q_simhash_dedup(spark, sf):
     # two docs collide).
     from featurescreening_jl_spark.operators.dedup import simhash_dedup
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
     return simhash_dedup(
         docs, num_bits=32, portable=True, keep_hash="simhash32"
     ).select("doc_id", "n_chars", "simhash32")
@@ -1032,7 +1032,7 @@ def q_dedup_cc(spark, sf):
     )
     from featurescreening_jl_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
     pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
     cc = connected_components(pairs, "id_a", "id_b")
     return cc.select(F.col("id").alias("doc_id"), "component")
@@ -1048,7 +1048,7 @@ def q_dedup_cc_star(spark, sf):
     )
     from featurescreening_jl_spark.operators.graph import connected_components
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
     pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
     cc = connected_components(pairs, "id_a", "id_b", algorithm="star")
     return cc.select(F.col("id").alias("doc_id"), "component")
@@ -1064,7 +1064,7 @@ def q_keep_best(spark, sf):
         ngram_jaccard_pairs_indexed,
     )
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
     pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
     return keep_best_per_cluster(docs, pairs, score_col="n_chars")
 
@@ -1188,7 +1188,7 @@ def q_ngram_jaccard_indexed(spark, sf):
         ngram_jaccard_pairs_indexed,
     )
 
-    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 400)
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
     out = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
     return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
@@ -1384,7 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # shared recursive-CTE prefix for the connected-component oracles: the exact
-# ngram-Jaccard pair graph over doc_id < 400 (same graph dedup_cc /
+# ngram-Jaccard pair graph over doc_id < 4000 (same graph dedup_cc /
 # dedup_cc_star / keep_best compute in Spark), expanded to per-node minimum
 # reachable id (UNION dedups, so the fixpoint terminates)
 _CC_ORACLE_PREFIX = r"""
@@ -1398,7 +1398,7 @@ _CC_ORACLE_PREFIX = r"""
                string_split_regex(
                  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
                  ' ') AS toks
-        FROM documents WHERE doc_id < 400
+        FROM documents WHERE doc_id < 4000
       )
       WHERE len(list_distinct(list_transform(
                range(0, greatest(len(toks) - 3, 0) + 1),
@@ -1734,7 +1734,9 @@ def _oracle_sql_base() -> dict[str, str]:
             ) WHERE jaccard >= 0.3
         """,
         # identical semantics to ngram_jaccard (different Spark physical
-        # strategy) → identical oracle
+        # strategy), over the wider doc_id < 4000 slice: the indexed form
+        # scales, so it benches on a slice that actually contains near-dup
+        # clusters at sf0.1; the O(n²) cross-join verifier stays at 400
         "ngram_jaccard_indexed": r"""
             WITH sh AS (
               SELECT doc_id,
@@ -1746,7 +1748,7 @@ def _oracle_sql_base() -> dict[str, str]:
                        string_split_regex(
                          lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
                          ' ') AS toks
-                FROM documents WHERE doc_id < 400
+                FROM documents WHERE doc_id < 4000
               )
               WHERE len(list_distinct(list_transform(
                        range(0, greatest(len(toks) - 3, 0) + 1),
@@ -1822,7 +1824,7 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             ) WHERE jaccard >= 0.8
         """,
-        "simhash_dedup": _simhash_oracle(num_bits=32, pred="doc_id < 400"),
+        "simhash_dedup": _simhash_oracle(num_bits=32, pred="doc_id < 4000"),
         # transitive clustering of the exact-Jaccard pair graph: min
         # reachable id per node via a recursive CTE (UNION dedups, so the
         # fixpoint terminates)
@@ -1841,7 +1843,7 @@ def _oracle_sql_base() -> dict[str, str]:
                      coalesce(c.component, d.doc_id) AS component,
                      d.n_chars
               FROM (SELECT doc_id, n_chars FROM documents
-                    WHERE doc_id < 400) d
+                    WHERE doc_id < 4000) d
               LEFT JOIN comp c ON c.id = d.doc_id
             )
             SELECT doc_id, component, n_docs, n_chars FROM (

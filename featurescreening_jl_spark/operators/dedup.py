@@ -688,7 +688,7 @@ def keep_best_per_cluster(
     pairs: DataFrame,
     score_col: str,
     id_col: str = "doc_id",
-    algorithm: str = "minlabel",
+    algorithm: str = "star",
 ) -> DataFrame:
     """Cluster-representative selection: given a near-duplicate pair graph,
     keep exactly ONE document per transitive duplicate cluster — the one

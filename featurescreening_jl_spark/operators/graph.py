@@ -13,15 +13,16 @@ join + one groupBy (both shuffles on the node id, broadcast-eligible when
 the frontier shrinks), with ``localCheckpoint`` truncating the plan
 lineage so round N's plan does not re-derive rounds 1..N-1.
 
-Scale notes (the 100 TB story): min-label rounds needed = graph diameter.
-Near-dup graphs are unions of near-cliques (every member of a dup cluster
-pairs with most others), so diameters are tiny (2-4) in practice — the
-pathological long-chain case is bounded by ``max_iterations``. For
-long-chain graphs, ``algorithm="star"`` runs the alternating
-large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", 2014), which converges in O(log n) rounds
-independent of diameter; per-round cost is the same shape
-(self-join + min-aggregate).
+Scale notes (the 100 TB story): plain min-label needs one round per hop
+(rounds = graph diameter). Both variants here are O(log)-round: min-label
+carries a pointer-jumping shortcut (``component := label[component]``
+each round, halving remaining path length — O(log diameter) rounds), and
+``algorithm="star"`` runs the alternating large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", 2014),
+O(log n) rounds independent of diameter with per-round cost of the same
+shape (self-join + min-aggregate). Near-dup graphs are unions of
+near-cliques (diameter 2-4), so either converges in a handful of rounds;
+``max_iterations`` bounds the pathological case.
 
 Reference parity note: the reference engine has no graph operator — this
 is part of the graft's training-data-pipeline layer (SURVEY.md §2 LLM
@@ -51,14 +52,12 @@ def connected_components(
     pair. ``component == id`` exactly for the representative (minimum)
     node of each component.
 
-    ``algorithm="minlabel"`` (default): per-round min-label propagation —
-    rounds = graph diameter, ideal for near-clique dup graphs.
+    ``algorithm="minlabel"`` (default): frontier min-label propagation
+    with a pointer-jumping shortcut — O(log diameter) rounds.
     ``algorithm="star"``: alternating large-star/small-star — O(log n)
-    rounds independent of diameter, the long-chain scale path.
+    rounds independent of diameter.
 
-    Raises if ``max_iterations`` rounds don't converge (for minlabel:
-    diameter larger than expected — raise the cap or switch to
-    ``algorithm="star"``).
+    Raises if ``max_iterations`` rounds don't converge.
     """
     if algorithm == "star":
         return _cc_star(pairs, id_a, id_b, max_iterations=max_iterations)
@@ -74,48 +73,71 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # frontier-only propagation: a node re-broadcasts its label ONLY in the
+    # round after it improved (__chg). Min-label is monotone — every
+    # improvement is broadcast exactly once, so neighbors never miss a
+    # value — and the expensive edges⋈labels join shrinks with the
+    # frontier (near-clique dup graphs: round 2+ frontiers are tiny).
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint()
+        .select("id", F.col("id").alias("component"), F.lit(True).alias("__chg"))
     )
-
-    # Convergence detector: labels only ever DECREASE (min-propagation), so
-    # the label sum strictly decreases until the fixpoint — comparing sums
-    # needs one aggregate per round instead of a full old-vs-new join.
-    # decimal(38,0): id sums overflow int64 at corpus scale.
-    def label_sum(lb) -> int:
-        s = lb.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        return int(s) if s is not None else 0  # None ⇔ empty graph
-
-    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
-        # min label over each node's neighborhood (one hop)
+        # messages from last round's improvers only (round 1: everyone)
+        frontier = labels.where(F.col("__chg"))
         neigh = (
-            edges.join(labels, edges.src == labels.id)
+            edges.join(frontier, edges.src == frontier.id)
             .groupBy("dst")
             .agg(F.min("component").alias("__ncomp"))
         )
+        hop = labels.join(neigh, labels.id == neigh.dst, "left").select(
+            "id",
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("__ncomp"), F.col("component")),
+            ).alias("component"),
+        )
+        # pointer-jumping shortcut: adopt the current representative's own
+        # label (component := label[component]). Every component value is a
+        # node id present in labels, so the join always matches. This halves
+        # the remaining path length each round — convergence O(log diameter)
+        # instead of O(diameter), which is what makes min-label viable on
+        # chain-shaped dup graphs, not just near-cliques.
+        reps = hop.select(
+            F.col("id").alias("__rid"), F.col("component").alias("__rcomp")
+        )
         new_labels = (
-            labels.join(neigh, labels.id == neigh.dst, "left")
+            hop.join(reps, hop.component == reps.__rid, "left")
+            .join(
+                labels.select("id", F.col("component").alias("__old")),
+                "id",
+            )
             .select(
                 "id",
                 F.least(
                     F.col("component"),
-                    F.coalesce(F.col("__ncomp"), F.col("component")),
+                    F.coalesce(F.col("__rcomp"), F.col("component")),
                 ).alias("component"),
+                (
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__rcomp"), F.col("component")),
+                    )
+                    < F.col("__old")
+                ).alias("__chg"),
             )
-            .localCheckpoint()  # truncate lineage: round N doesn't replan 1..N-1
+            # lazy: the convergence count below is the ONE action per round
+            # and materializes this checkpoint as its side effect (the old
+            # eager checkpoint + separate sum-compare ran two jobs/round).
+            # Lineage still truncates: round N doesn't replan rounds 1..N-1.
+            .localCheckpoint(eager=False)
         )
-        cur_sum = label_sum(new_labels)
+        n_changed = new_labels.where(F.col("__chg")).count()
         labels = new_labels
-        if cur_sum == prev_sum:
+        if n_changed == 0:
             edges.unpersist()
-            return labels
-        prev_sum = cur_sum
+            return labels.select("id", "component")
     edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
@@ -193,7 +215,9 @@ def _cc_star(
             .select(F.col("v").alias("u"), F.col("__m").alias("v"))
             .unionAll(mins2.select("u", F.col("__m").alias("v")))
             .distinct()
-            .localCheckpoint()
+            # lazy: the checksum aggregate below is the one action per
+            # round and persists this checkpoint as its side effect
+            .localCheckpoint(eager=False)
         )
         cur = checksum(new_edges)
         edges = new_edges

@@ -253,9 +253,11 @@ class TestConnectedComponents:
         assert a == b
 
     def test_star_long_chain_converges_in_log_rounds(self, spark):
-        # 1000-node path graph: diameter 999. min-label needs one round
-        # per hop (hits any sane cap); large-star/small-star halves chain
-        # length per round and converges in ~log2(n) rounds.
+        # 1000-node path graph: diameter 999. Plain per-hop min-label would
+        # need one round per hop; BOTH implemented variants are O(log n):
+        # min-label carries a pointer-jumping shortcut (label[label]) and
+        # large-star/small-star halves chain length per round. 15 rounds
+        # (> log2(1000) ≈ 10) must suffice for each.
         from featurescreening_jl_spark.operators.graph import (
             connected_components,
         )
@@ -264,13 +266,12 @@ class TestConnectedComponents:
         pairs = spark.range(n - 1).select(
             F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
         )
-        with pytest.raises(RuntimeError, match="converge"):
-            connected_components(pairs, max_iterations=15)
-        cc = connected_components(
-            pairs, algorithm="star", max_iterations=15
-        ).toPandas()
-        assert len(cc) == n
-        assert (cc["component"] == 0).all()
+        for algo in ("minlabel", "star"):
+            cc = connected_components(
+                pairs, algorithm=algo, max_iterations=15
+            ).toPandas()
+            assert len(cc) == n, algo
+            assert (cc["component"] == 0).all(), algo
 
     def test_star_rejects_unknown_algorithm(self, spark):
         from featurescreening_jl_spark.operators.graph import (
