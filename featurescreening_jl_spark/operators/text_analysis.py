@@ -625,28 +625,40 @@ def length_quantiles(
     by: str = "lang",
     probs: tuple[float, ...] = (0.5, 0.9, 0.99),
     text_col: str = "text",
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
-    """EXACT token-count quantiles per group (linear interpolation, the
-    ``quantile_cont`` definition) — the corpus-sizing companion to
+    """Token-count quantiles per group — the corpus-sizing companion to
     :func:`token_length_histogram`: histograms show the shape, quantiles
     give the cut points packing/truncation budgets are set from.
 
-    Exactness is deliberate so the result is engine-portable (DuckDB
-    ``quantile_cont`` reproduces it bit-for-bit); it costs a per-group
-    sort bounded by the group's row count. At 100-TB corpus scale swap
-    in ``F.approx_percentile`` (t-digest sketch, mergeable, map-side
-    partials, no sort) — same call shape, rank error ≤ 1/accuracy;
-    the exact form stays the verifier.
+    ``approx=False`` (default): EXACT quantiles (linear interpolation,
+    the ``quantile_cont`` definition) — engine-portable (DuckDB
+    ``quantile_cont`` reproduces it bit-for-bit); costs a per-group sort
+    bounded by the group's row count. This is the verifier form.
+
+    ``approx=True``: the 100-TB path — ``F.approx_percentile``
+    (Greenwald-Khanna sketch: mergeable, map-side partials, no per-group
+    sort; rank error ≤ 1/``accuracy``). Same output shape; returned
+    quantiles are actual data values (no interpolation), so they differ
+    from the exact form by at most the value spacing at the quantile
+    plus rank error — pinned against the exact form in
+    ``tests/test_corpus_prep.py`` on skewed data.
 
     Output: ``by``, ``p<prob>`` per requested quantile (double),
     ``n_docs``.
     """
     t = token_count(F.col(text_col)).cast("double")
+
+    def q(p: float):
+        if approx:
+            return F.approx_percentile(
+                F.col("__t"), F.lit(float(p)), F.lit(int(accuracy))
+            ).cast("double")
+        return F.percentile(F.col("__t"), F.lit(float(p)))
+
     aggs = [
-        F.percentile(F.col("__t"), F.lit(float(p))).alias(
-            f"p{str(p)[2:].ljust(2, '0')}"
-        )
-        for p in probs
+        q(p).alias(f"p{str(p)[2:].ljust(2, '0')}") for p in probs
     ]
     return (
         df.select(F.col(by), t.alias("__t"))

@@ -209,6 +209,37 @@ class TestLengthQuantiles:
         assert r["p50"] == pytest.approx(2.5)
         assert r["p90"] == pytest.approx(7.9)
 
+    def test_approx_tracks_exact_on_skewed_data(self, spark):
+        # heavy-tailed token counts: 900 docs of 1-9 tokens, 90 of ~100,
+        # 10 of ~1000 — the shape where a naive sample misses the tail.
+        rows = []
+        for i in range(900):
+            rows.append(("en", " ".join(["t"] * (1 + i % 9))))
+        for i in range(90):
+            rows.append(("en", " ".join(["t"] * (100 + i))))
+        for i in range(10):
+            rows.append(("en", " ".join(["t"] * (1000 + 7 * i))))
+        df = spark.createDataFrame(rows, ["lang", "text"]).repartition(8)
+        probs = (0.5, 0.9, 0.99)
+        exact = length_quantiles(df, by="lang", probs=probs).collect()[0]
+        appr = length_quantiles(
+            df, by="lang", probs=probs, approx=True, accuracy=10_000
+        ).collect()[0]
+        assert appr["n_docs"] == exact["n_docs"] == 1000
+        # accuracy=10000 on n=1000 → rank error < 1 row, so the approx
+        # value must be one of the two data values BRACKETING the exact
+        # (interpolated) quantile. Sorted data: 100× each of 1..9, then
+        # 100..189, then 1000,1007,...,1063.
+        # p50: index 499.5 → exact 5.5, brackets {5, 6}
+        assert exact["p50"] == pytest.approx(5.5)
+        assert appr["p50"] in (5.0, 6.0)
+        # p90: index 899.1 → exact 9 + 0.1*(100-9) = 18.1, brackets {9, 100}
+        assert exact["p90"] == pytest.approx(18.1)
+        assert appr["p90"] in (9.0, 100.0)
+        # p99: index 989.01 → exact 189 + 0.01*(1000-189), brackets {189, 1000}
+        assert exact["p99"] == pytest.approx(197.11)
+        assert appr["p99"] in (189.0, 1000.0)
+
 
 class TestMinhashIncremental:
     def test_exact_copy_found_distinct_not(self, spark):
