@@ -706,16 +706,16 @@ def keep_best_per_cluster(
     Scale shape: clusters come from :func:`connected_components` over the
     pair graph (only paired ids — a small fraction of the corpus), the
     label table joins back to ``df`` on ``id_col`` (AQE broadcasts it when
-    small), and the argmax is one ``row_number`` window partitioned by
-    ``component`` — dup clusters are near-cliques, so partitions are tiny
-    and the full corpus never collects anywhere.
+    small), and the argmax is a ``min_by`` AGGREGATE per component —
+    map-side partial aggregation keeps per-task state O(#components seen),
+    so even a pathological mega-cluster holding ~every paired doc never
+    funnels through a single-task sort (a ``row_number`` window would).
 
     Output: one row per surviving document — ``id_col``, ``component``
     (cluster label; equals the id itself for singletons), ``n_docs``
-    (cluster size), and ``score_col``.
+    (cluster size), and ``score_col`` (must be numeric — its negation is
+    the argmax ordering key).
     """
-    from pyspark.sql import Window
-
     from featurescreening_jl_spark.operators.graph import (
         connected_components,
     )
@@ -727,13 +727,24 @@ def keep_best_per_cluster(
     labeled = labeled.withColumn(
         "component", F.coalesce(F.col("component"), F.col(id_col))
     )
-    w = Window.partitionBy("component").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    # per-cluster argmax as an AGGREGATE, not a row_number window: min_by
+    # over the total-order key (-score, id) picks highest score / lowest-id
+    # tiebreak deterministically, with map-side partial aggregation — a
+    # mega-cluster (one component holding ~all paired docs) costs O(1)
+    # state per task instead of a single-task full sort of the cluster.
+    best = F.min_by(
+        F.struct(F.col(id_col), F.col(score_col)),
+        F.struct(
+            (-F.col(score_col)).alias("__ns"), F.col(id_col).alias("__id")
+        ),
     )
-    cluster = Window.partitionBy("component")
     return (
-        labeled.withColumn("__rk", F.row_number().over(w))
-        .withColumn("n_docs", F.count("*").over(cluster))
-        .where(F.col("__rk") == 1)
-        .select(id_col, "component", "n_docs", score_col)
+        labeled.groupBy("component")
+        .agg(best.alias("__best"), F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.col("__best")[id_col].alias(id_col),
+            "component",
+            "n_docs",
+            F.col("__best")[score_col].alias(score_col),
+        )
     )

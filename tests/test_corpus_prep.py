@@ -157,6 +157,28 @@ class TestKeepBestPerCluster:
         assert out[4]["n_docs"] == 1 and out[4]["component"] == 4
         assert out[5]["n_docs"] == 1 and out[5]["component"] == 5
 
+    @pytest.mark.slow
+    def test_mega_cluster_100k_docs_one_component(self, spark):
+        # pathological shape: ONE component holds all 100k paired docs
+        # (star graph 0—i). The argmax is a min_by aggregate with map-side
+        # partials, so no single task ever sorts the whole cluster — this
+        # would OOM/straggle under a row_number window at corpus scale.
+        n = 100_000
+        docs = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 997).cast("double").alias("score"),
+        )
+        pairs = spark.range(1, n).select(
+            F.lit(0).cast("long").alias("id_a"), F.col("id").alias("id_b")
+        )
+        out = keep_best_per_cluster(docs, pairs, "score").collect()
+        assert len(out) == 1
+        r = out[0]
+        # max score 996 first reached at doc_id 996 (lowest-id tiebreak)
+        assert r["component"] == 0
+        assert r["n_docs"] == n
+        assert r["doc_id"] == 996 and r["score"] == 996.0
+
 
 class TestNgramLmScore:
     def test_self_scored_golden(self, spark):
