@@ -140,3 +140,76 @@ class TestFeaturizeShape:
         assert re.search(r"\btext#", input_line) is None, input_line
         wide = turn_features(t, keep_text=True)
         assert "text" in wide.columns and "text" not in slim.columns
+
+
+def optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestHofBindingPlanShape:
+    """Pin the lambda-variable-binding fixes for the four HOF
+    re-evaluation sites (shingles, winnow_fingerprints, repetition_stats,
+    assign_cells): each expensive subexpression must stay bound through
+    ``transform(array(x), f)`` so per-element lambda eval can't re-compute
+    it O(len) times per row. The assertion counts the expensive marker in
+    the OPTIMIZED plan; removing the binding (or a Catalyst rewrite of
+    transform(array(x), f) → f(x)) clones the expression into lambda
+    bodies and the count jumps past the threshold (measured regressed
+    counts noted per test). A downstream explode is included where that
+    was the historical CollapseProject/InferFiltersFromGenerate trigger."""
+
+    def test_shingles_norm_not_cloned_into_lambda(self, spark):
+        from featurescreening_jl_spark.operators.dedup import shingles
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g")], ["doc_id", "text"]
+        )
+        sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+        ex = sh.select("doc_id", F.explode("s").alias("g"))
+        # bound: 3 (project + generate + inferred filter); unbound
+        # regression measured: 4+ (cloned into the per-index lambda)
+        assert optimized(ex).count("regexp_replace") <= 3, optimized(ex)
+
+    def test_winnow_grams_not_cloned_into_window_lambda(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            winnow_fingerprints,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abcdefghij klmnop qrstuv")], ["doc_id", "text"]
+        )
+        wf = winnow_fingerprints(docs)
+        ex = wf.select("doc_id", F.explode("fingerprints").alias("fp"))
+        # bound: 3 md5 renderings; unbound regression measured: 6 (the
+        # full md5-gram array cloned into the per-window lambda — the
+        # O(len²) 16× slowdown fixed in round 3)
+        assert optimized(ex).count("md5") <= 3, optimized(ex)
+
+    def test_repetition_stats_split_not_cloned(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            repetition_stats,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b c d")], ["doc_id", "text"]
+        )
+        rs = repetition_stats(docs)
+        # bound: 4 regexp_replace renderings (normalization reused across
+        # the line/bigram branches); inlining bigrams into run_stats adds
+        # a full extra clone per lambda site
+        assert optimized(rs).count("regexp_replace") <= 4, optimized(rs)
+
+    def test_assign_cells_dots_evaluated_once(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.ivf import assign_cells
+
+        emb = spark.createDataFrame([(1, [1.0, 0.0])], ["id", "embedding"])
+        cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+        ac = assign_cells(emb, cents)
+        txt = optimized(ac)
+        # the n_cells×dim dot-product array must be computed ONCE per row:
+        # inlining `dots` into both array_position and array_max doubles
+        # the zip_with/aggregate expression tree
+        assert txt.count("zip_with") == 1, txt
+        assert txt.count("aggregate(") == 1, txt
