@@ -2,11 +2,12 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata structs;
 the Spark-side plumbing — schema, partition sizing, Arrow batch shape,
-``mapInPandas`` signatures — is real and tested. The codec step itself is
-STUBBED behind ``decoder=`` (image/audio libraries are not available in
-this container): the default deterministic fake derives pseudo-features
-from the payload bytes so pipelines are testable end-to-end; pass a real
-decoder callable in production.
+``mapInPandas`` signatures — is real and tested. The codec step is
+pluggable via ``decoder=``: the default deterministic fake derives
+pseudo-features from the payload bytes (no codec libraries in this
+container), and ``operators/media_codecs.py`` provides REAL stdlib-only
+decoders (PNG zlib inflate + unfilter, 16-bit PCM WAV) proven through
+this seam in tests — swap in a native image/audio model in production.
 """
 
 from __future__ import annotations

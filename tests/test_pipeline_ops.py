@@ -215,6 +215,155 @@ class TestMultimodal:
         assert frames["frame_ts_ms"].tolist() == [0, 1000, 2000]
 
 
+def _encode_png(px, filters=None) -> bytes:
+    """Spec-following test encoder: 8-bit truecolor/grayscale PNG with a
+    chosen filter type per scanline (exercises the decoder's unfilter)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = filters or [0] * h
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = px[y].reshape(-1).astype(np.int16)
+        f = filters[y]
+        if f == 0:
+            enc = line
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+            enc = (line - left) % 256
+        elif f == 2:  # Up
+            enc = (line - prev) % 256
+        elif f == 3:  # Average
+            enc = line.copy()
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                enc[x] = (int(line[x]) - ((a + int(prev[x])) >> 1)) % 256
+        elif f == 4:  # Paeth
+            enc = line.copy()
+            for x in range(w * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(line[x]) - pr) % 256
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _encode_wav(samples, rate=8000) -> bytes:
+    import io
+    import wave
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((samples * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+class TestRealMediaDecoders:
+    """The decoder= seam driven by REAL codecs on real bytes: stdlib-only
+    PNG (zlib inflate + full unfilter) and 16-bit PCM WAV decode inside
+    the Arrow mapInPandas worker — closing the 'only the hash stub has
+    ever run' gap; the stub stays the default."""
+
+    def test_png_roundtrip_every_filter_type(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.media_codecs import (
+            decode_png,
+        )
+
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+        for f in range(5):
+            payload = _encode_png(px, filters=[f] * 5)
+            out = decode_png(payload)
+            assert out.shape == (5, 4, 3), f
+            assert (out == px).all(), f"filter {f} roundtrip"
+        # grayscale + mixed filters
+        g = rng.integers(0, 256, size=(6, 3, 1), dtype=np.uint8)
+        assert (decode_png(_encode_png(g, [0, 1, 2, 3, 4, 2])) == g).all()
+
+    def test_wav_roundtrip_features(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.media_codecs import (
+            wav_features,
+        )
+
+        t = np.arange(8000) / 8000.0
+        sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+        feats = wav_features(_encode_wav(sine, rate=8000))
+        dur, ch, khz, rms, peak, zcr = feats
+        assert dur == pytest.approx(1.0)
+        assert ch == 1 and khz == pytest.approx(8.0)
+        # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+        assert rms == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+        assert peak == pytest.approx(0.5, rel=1e-3)
+        # a 440 Hz sine crosses zero 880 times/sec
+        assert zcr == pytest.approx(880 / 8000, rel=0.02)
+
+    def test_route_decoder_through_spark_seam(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.media_codecs import (
+            png_features,
+            route_decoder,
+            wav_features,
+        )
+
+        rng = np.random.default_rng(11)
+        px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        png = _encode_png(px, filters=[4] * 8)
+        wav = _encode_wav(0.25 * np.sin(np.arange(4000) * 0.3))
+        rows = [
+            (0, "image", png, (8, 8, None, "png")),
+            (1, "audio", wav, (None, None, 500, "pcm")),
+            (2, "video", b"\x00\x00vid", (320, 240, 3500, "h264")),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, "
+            "meta struct<width:int,height:int,duration_ms:int,codec:string>",
+        ).repartition(3)
+        out = {
+            r["media_id"]: r["feature"]
+            for r in extract_media_features(
+                media, decoder=route_decoder
+            ).collect()
+        }
+        np.testing.assert_allclose(out[0], png_features(png))
+        np.testing.assert_allclose(out[1], wav_features(wav))
+        assert len(out[2]) == 16  # unknown kind → deterministic fake
+
+
 class TestConnectedComponents:
     def test_chain_and_islands(self, spark):
         from featurescreening_jl_spark.operators.graph import (
