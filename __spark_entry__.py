@@ -142,6 +142,10 @@ def _screen_transcripts(spark: SparkSession, sf: str) -> DataFrame:
         # semantics-faithful default elsewhere)
         importance_backend="partitioned",
         backend_options={"num_partitions": 16},
+        # the caller (driver/bench) materializes the returned frame right
+        # away; keep the loop cache so that read is a narrow in-memory
+        # projection instead of a full featurization recompute
+        unpersist=False,
     )
     return result.df
 

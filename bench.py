@@ -108,8 +108,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # warm the JVM/codegen once with a cheap query
+    # warm the JVM/codegen once with a cheap query, and the Python-worker
+    # pool + Arrow serializer path with a trivial mapInPandas (the first
+    # Arrow query otherwise pays ~CPUS pandas-import worker spawns)
     materialize(qs["hash_count_agg"](spark, SF_DIR))
+    materialize(
+        spark.range(CPUS * 4, numPartitions=CPUS).mapInPandas(
+            lambda it: it, "id long"
+        )
+    )
 
     # optional argv subset for iteration: `python bench.py q1 q2 ...`
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or HEADLINE

@@ -67,6 +67,7 @@ def screen(
     cache: bool = True,
     importance_backend: str = "spark_ml",
     backend_options: Optional[dict[str, Any]] = None,
+    unpersist: bool = True,
 ) -> FeatureFrame:
     """Screen a FeatureFrame down to its most important features.
 
@@ -100,6 +101,12 @@ def screen(
       ensemble, the near-linear-scaling path for huge inputs — see
       operators/importance_dist.py). ``backend_options`` forwards e.g.
       ``num_partitions`` / ``trees_per_partition``.
+    - ``unpersist`` — drop the loop cache before returning (default).
+      Pass False when the caller consumes the RETURNED frame immediately:
+      the result is a narrow projection of the cached base, so keeping
+      the cache alive lets that consumption read ~reduced_size columns
+      from memory instead of re-deriving the full featurization lineage;
+      the cache then ages out via the session's LRU store.
     """
     if reduced_size is not None and selection_mode is not None:
         raise AssertionError(
@@ -233,7 +240,7 @@ def screen(
             )
 
     result = ff.select_features(selected_names)
-    if cache:
+    if cache and unpersist:
         ff.df.unpersist()
     return result
 
