@@ -65,13 +65,21 @@ def connected_components(
         raise ValueError(
             f"unknown algorithm {algorithm!r} (expected 'minlabel' or 'star')"
         )
+    # EAGER localCheckpoint, not lazy persist: the round-0 job references
+    # edges from several parallel branches (frontier, neigh, labels), and
+    # a lazily-persisted plan gets CONCURRENTLY recomputed by each branch
+    # before the cache populates — for an expensive upstream pair graph
+    # (LSH join, indexed jaccard) that multiplied the dominant cost ~4×.
+    # Materializing once up front computes the pair graph exactly once;
+    # checkpoint storage is RDD-level, so it is ContextCleaner-collected
+    # when the result DataFrame is dropped (no cache-manager leak).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     # frontier-only propagation: a node re-broadcasts its label ONLY in the
     # round after it improved (__chg). Min-label is monotone — every
@@ -136,9 +144,7 @@ def connected_components(
         n_changed = new_labels.where(F.col("__chg")).count()
         labels = new_labels
         if n_changed == 0:
-            edges.unpersist()
             return labels.select("id", "component")
-    edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} rounds"
     )
