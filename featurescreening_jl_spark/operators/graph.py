@@ -36,6 +36,25 @@ from pyspark.sql import functions as F
 
 __all__ = ["connected_components"]
 
+# per-round task sizing: ~1M (long, long) edge rows ≈ 16 MB per partition.
+# Iterative CC runs MANY small jobs (one per round); on a tiny pair graph
+# (near-dup graphs at moderate SF are a few hundred edges) keeping the
+# checkpointed edge table at cluster-default partitioning makes every
+# round pay 32+ near-empty task launches per stage — measured ~0.4-0.5 s
+# of pure scheduling per round at sf0.1. Coalescing DOWN to the data size
+# (never up) removes that floor; at 100 TB the edge table is billions of
+# rows and keeps its parent partitioning untouched.
+_EDGE_ROWS_PER_PARTITION = 1_000_000
+
+
+def _coalesce_small(df: DataFrame, n_rows: int) -> DataFrame:
+    """Coalesce a checkpointed edge/label table down to ``ceil(n_rows /
+    1M)`` partitions when that is fewer than it currently has (narrow —
+    no shuffle; reads the existing checkpoint blocks)."""
+    cur = df.rdd.getNumPartitions()
+    p = max(1, -(-n_rows // _EDGE_ROWS_PER_PARTITION))
+    return df.coalesce(p) if p < cur else df
+
 
 def connected_components(
     pairs: DataFrame,
@@ -81,6 +100,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # one cheap job on the checkpointed table buys right-sized rounds
+    edges = _coalesce_small(edges, edges.count())
     # frontier-only propagation: a node re-broadcasts its label ONLY in the
     # round after it improved (__chg). Min-label is monotone — every
     # improvement is broadcast exactly once, so neighbors never miss a
@@ -174,20 +195,23 @@ def _cc_star(
     ``localCheckpoint`` truncates lineage so round N does not replan
     rounds 1..N-1.
     """
-    edges = (
+    # ONE checkpointed canonical table feeds BOTH the edge rounds and the
+    # final node roster. Deriving `nodes` from the raw `pairs` plan (the
+    # round-3 shape) made every downstream action on the RESULT re-run the
+    # entire upstream pair pipeline (LSH join / indexed jaccard) just to
+    # list node ids — measured as the dominant cost of
+    # keep_best_per_cluster at sf0.1. Self-pairs (u == v) stay in `canon`
+    # so a node appearing only in a self-pair still gets a label; they are
+    # filtered from the star rounds, which need real edges.
+    canon = (
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
             F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
-        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
-    nodes = (
-        pairs.select(F.col(id_a).alias("id"))
-        .unionAll(pairs.select(F.col(id_b).alias("id")))
-        .distinct()
-    )
+    edges = canon.where(F.col("u") != F.col("v"))
 
     def checksum(e: DataFrame) -> tuple[int, int]:
         row = e.agg(
@@ -197,6 +221,14 @@ def _cc_star(
         return (row["n"], int(row["s"]) if row["s"] is not None else 0)
 
     prev = checksum(edges)
+    # the checksum's count doubles as the partition-sizing probe
+    canon = _coalesce_small(canon, prev[0])
+    edges = canon.where(F.col("u") != F.col("v"))
+    nodes = (
+        canon.select(F.col("u").alias("id"))
+        .unionAll(canon.select(F.col("v").alias("id")))
+        .distinct()
+    )
     converged = False
     for _ in range(max_iterations):
         # ---- large-star ----
