@@ -133,6 +133,11 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # measurement isolation: a query that legitimately leaves cached
+        # tables behind for its own consumers (the flagship keeps its loop
+        # cache for the materialization above) must not make every LATER
+        # query compete with that resident cache for executor memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

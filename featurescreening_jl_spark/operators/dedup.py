@@ -50,33 +50,51 @@ def _cap_buckets(
     the within-bucket self-join, which is O(bucket²)). Logs how many
     buckets/rows were capped — a coverage cap must never be silent.
 
-    NOTE: passing a cap runs an eager Spark job at call time (the hot
-    buckets must be materialized to be logged). Hot keys come from a plain
-    hash aggregate and are removed with a left-anti join — nothing is
-    ``persist()``-ed, so no cached table outlives the call (the earlier
-    window+persist formulation leaked its cache for the session's
-    lifetime). The agg output is one row per DISTINCT bucket key, so it
-    stays small even at 10^12 input rows; when no bucket exceeds the cap,
-    the input plan is returned untouched (no join added)."""
+    LAZY: the hot-bucket aggregate is built INTO the returned plan (a
+    left-anti join against the over-cap keys), so composing callers get no
+    surprise eager job at plan-construction time (the round-3 form ran
+    one). The cap report rides a ``CollectMetrics`` observation on the
+    hot-key subplan and is logged by a daemon thread the moment the FIRST
+    action materializes the plan; if the plan is never executed nothing is
+    logged (and nothing ran). The agg output is one row per DISTINCT
+    bucket key, so the anti-join build side stays small even at 10^12
+    input rows; when no bucket exceeds the cap it is empty and AQE
+    collapses the anti-join to a pass-through. Nothing is ``persist()``-ed
+    — no cached table outlives the call."""
     import logging
+    import threading
 
+    from pyspark.sql import Observation
+
+    obs = Observation()
     hot = (
         keyed.groupBy(*key_cols)
         .agg(F.count("*").alias("__bsz"))
         .where(F.col("__bsz") > cap)
-    )
-    stats = hot.agg(
-        F.count("*").alias("buckets"), F.sum("__bsz").alias("rows")
-    ).first()
-    if stats["rows"]:
-        logging.getLogger(__name__).warning(
-            "%s: capped %d hot bucket(s) holding %d rows at "
-            "max_bucket_size=%d — pairs only findable through those "
-            "buckets are NOT emitted",
-            op, stats["buckets"], stats["rows"], cap,
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("buckets"),
+            F.coalesce(F.sum("__bsz"), F.lit(0)).alias("rows"),
         )
-        return keyed.join(hot.select(*key_cols), on=key_cols, how="left_anti")
-    return keyed
+    )
+
+    def _log_on_first_materialize() -> None:
+        try:
+            metrics = obs.get  # blocks until an action executes the plan
+        except Exception:  # session stopped before any action — no report
+            return
+        if metrics["rows"]:
+            logging.getLogger(__name__).warning(
+                "%s: capped %d hot bucket(s) holding %d rows at "
+                "max_bucket_size=%d — pairs only findable through those "
+                "buckets are NOT emitted",
+                op, metrics["buckets"], metrics["rows"], cap,
+            )
+
+    threading.Thread(
+        target=_log_on_first_materialize, daemon=True, name=f"{op}-cap-log"
+    ).start()
+    return keyed.join(hot.select(*key_cols), on=key_cols, how="left_anti")
 
 
 def hash60_portable(col):
@@ -620,7 +638,8 @@ def ngram_jaccard_pairs_indexed(
     # data phase 2 must hold anyway — and is ContextCleaner-collected when
     # the result DataFrame is dropped, so nothing leaks in the cache
     # manager. The one eager job this runs at call time is documented
-    # behavior (same contract as ``max_shingle_df``'s cap scan).
+    # behavior (``max_shingle_df``'s cap, by contrast, is lazy — see
+    # ``_cap_buckets``).
     sh = (
         df.select(
             F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")

@@ -486,6 +486,18 @@ class TestSimhashNeardup:
         assert len(expect) > 30  # non-vacuous: most copies are near-dups
 
 
+def _wait_for_cap_log(caplog, timeout: float = 10.0) -> None:
+    """The cap report is logged by a daemon thread the instant the
+    observation's action completes — a hair after toPandas() returns."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if any("capped" in r.message for r in caplog.records):
+            return
+        time.sleep(0.05)
+
+
 class TestBucketCap:
     def test_hot_bucket_capped_and_logged(self, spark, caplog):
         import logging
@@ -502,6 +514,7 @@ class TestBucketCap:
             pairs = minhash_lsh_pairs(
                 df, jaccard_threshold=0.5, shingle_n=2, max_bucket_size=5,
             ).toPandas()
+            _wait_for_cap_log(caplog)
         got = {(r.id_a, r.id_b) for r in pairs.itertuples()}
         assert (100, 101) in got
         # the capped boilerplate pairs are gone (bucket size 12 > cap 5)
@@ -557,6 +570,7 @@ class TestHotShingleCap:
             capped = ngram_jaccard_pairs_indexed(
                 df, shingle_n=2, threshold=0.1, max_shingle_df=5
             ).toPandas()
+            _wait_for_cap_log(caplog)
         assert any("capped" in r.message for r in caplog.records)
         got = {(r.id_a, r.id_b) for r in capped.itertuples()}
         # the real pair survives on its uncapped shared bigrams
