@@ -1073,6 +1073,60 @@ def q_keep_best(spark, sf):
     return keep_best_per_cluster(docs, pairs, score_col="n_chars")
 
 
+def q_corpus_prep(spark, sf):
+    # END-TO-END corpus preparation as ONE composed lazy plan — the
+    # LLM-training-data story the individual operators exist for:
+    #   1. exact dedup (min-id per normalized text),
+    #   2. near-dup clustering (exact indexed n-gram Jaccard pair graph →
+    #      connected components) keeping the LONGEST doc per cluster,
+    #   3. quality filtering (deterministic logistic score ≥ 0.35 — drops
+    #      the corpus's bottom quality quartile without dominating the
+    #      other stages),
+    #   4. benchmark decontamination (drop docs sharing ≥2 distinct
+    #      5-gram shingles with any benchmark span).
+    # The oracle replays all four stages over the same survivors. At
+    # 100 TB each stage keeps its own scale shape (hash-agg dedup, banded
+    # candidate join + CC over paired ids only, map-only scoring,
+    # broadcast benchmark index) — composition adds joins on doc_id, all
+    # AQE-broadcastable because survivors only shrink.
+    from featurescreening_jl_spark.operators.decontam import (
+        contamination_pairs,
+    )
+    from featurescreening_jl_spark.operators.dedup import (
+        dedup_exact,
+        keep_best_per_cluster,
+        ngram_jaccard_pairs_indexed,
+    )
+    from featurescreening_jl_spark.operators.text_analysis import quality_score
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
+    # the exact-dedup survivor table feeds FOUR branches (pair graph,
+    # cluster labeling, decontamination corpus side, quality scoring) —
+    # materialize it once, same contract as the operators' own shared
+    # subplans (ngram_jaccard_pairs_indexed's shingle table, CC's edges)
+    surv = dedup_exact(docs).localCheckpoint()
+    pairs = ngram_jaccard_pairs_indexed(surv, shingle_n=3, threshold=0.3)
+    reps = keep_best_per_cluster(surv, pairs, score_col="n_chars")
+    bench = _t(spark, sf, "documents").where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").substr(11, 200).alias("text"),
+    )
+    contaminated = (
+        contamination_pairs(surv, bench, n=5, min_shared=2)
+        .select("doc_id")
+        .distinct()
+    )
+    scored = surv.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("q_score")
+    )
+    return (
+        reps.join(scored, "doc_id")
+        .where(F.col("q_score") >= 0.35)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "component", "n_docs", "n_chars", "q_score")
+    )
+
+
 def q_chat_render(spark, sf):
     # conversation → ONE training-format string ("<|role|>text" turns
     # joined by newline, ordered by turn_idx) + turn/token counts — the
@@ -1350,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc": q_dedup_cc,
         "dedup_cc_star": q_dedup_cc_star,
         "keep_best": q_keep_best,
+        "corpus_prep": q_corpus_prep,
         "chat_render": q_chat_render,
         "doc_chunks": q_doc_chunks,
         "token_histogram": q_token_histogram,
@@ -1858,6 +1913,141 @@ def _oracle_sql_base() -> dict[str, str]:
                      count(*) OVER (PARTITION BY component) AS n_docs
               FROM lab
             ) WHERE rk = 1
+        """,
+        # the composed corpus-prep pipeline: exact dedup → near-dup CC
+        # keep-best → quality filter → decontamination, each stage the
+        # same closed form its standalone oracle uses, chained over the
+        # exact-dedup survivors
+        "corpus_prep": r"""
+            WITH RECURSIVE surv AS (
+              SELECT d.doc_id, d.text, d.n_chars FROM documents d
+              JOIN (
+                SELECT min(doc_id) AS doc_id FROM documents
+                WHERE doc_id < 4000
+                GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+              ) k USING (doc_id)
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM surv
+              )
+              WHERE len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) > 0
+            ),
+            prs AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                       / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              ) WHERE jaccard >= 0.3
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION SELECT id_b, id_a FROM prs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ),
+            lab AS (
+              SELECT s.doc_id, coalesce(c.component, s.doc_id) AS component,
+                     s.n_chars
+              FROM surv s LEFT JOIN comp c ON c.id = s.doc_id
+            ),
+            best AS (
+              SELECT doc_id, component, n_docs, n_chars FROM (
+                SELECT doc_id, component, n_chars,
+                       row_number() OVER (PARTITION BY component
+                                          ORDER BY n_chars DESC, doc_id)
+                           AS rk,
+                       count(*) OVER (PARTITION BY component) AS n_docs
+                FROM lab
+              ) WHERE rk = 1
+            ),
+            csh AS (
+              SELECT doc_id,
+                     list_filter(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 5, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+5], ' '))),
+                       g -> len(g) > 0) AS s
+              FROM (
+                SELECT doc_id,
+                       string_split_regex(
+                         lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM surv
+              )
+            ),
+            bs AS (
+              SELECT list_filter(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 5, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+5], ' '))),
+                       g -> len(g) > 0) AS s
+              FROM (
+                SELECT string_split_regex(
+                         lower(trim(regexp_replace(
+                           substr(text, 11, 200), '\s+', ' ', 'g'))),
+                         ' ') AS toks
+                FROM documents WHERE doc_id % 50 = 7
+              )
+            ),
+            contam AS (
+              SELECT DISTINCT c.doc_id FROM csh c
+              JOIN bs b ON len(list_intersect(c.s, b.s)) >= 2
+            ),
+            q AS (
+              SELECT doc_id,
+                     length(text)::DOUBLE AS n_chars,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::DOUBLE AS n_tokens,
+                     (length(text)
+                      - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                         AS n_punct,
+                     (length(text)
+                      - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                         AS n_upper,
+                     len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           w -> list_contains(
+                                  ['the','a','an','and','or','of','to','in',
+                                   'is','it','for','on','with','as','at','by',
+                                   'that','this'], w)))::DOUBLE AS n_stop
+              FROM surv
+            ),
+            qual AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-(-1.0
+                       + 6.0 * (n_stop / (CASE WHEN n_tokens > 0
+                                               THEN n_tokens ELSE 1.0 END))
+                       - 8.0 * (n_punct / (CASE WHEN n_chars > 0
+                                                THEN n_chars ELSE 1.0 END))
+                       - 4.0 * (n_upper / (CASE WHEN n_chars > 0
+                                                THEN n_chars ELSE 1.0 END))
+                       - 0.15 * (n_chars / (CASE WHEN n_tokens > 0
+                                                 THEN n_tokens ELSE 1.0 END))
+                       + 0.25 * ln(1.0 + n_tokens)))), 4) AS q_score
+              FROM q
+            )
+            SELECT b.doc_id, b.component, b.n_docs, b.n_chars, u.q_score
+            FROM best b JOIN qual u USING (doc_id)
+            WHERE u.q_score >= 0.35
+              AND b.doc_id NOT IN (SELECT doc_id FROM contam)
         """,
         "chat_render": f"""
             WITH t AS ({_TRANSCRIPTS_SQL}),

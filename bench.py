@@ -87,6 +87,7 @@ HEADLINE = [
     "pack_offset",
     "token_budget_mix",
     "keep_best",
+    "corpus_prep",
     "chat_render",
     "doc_chunks",
     "token_histogram",
