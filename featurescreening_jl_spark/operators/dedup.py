@@ -722,7 +722,7 @@ def keep_best_per_cluster(
     pairs: DataFrame,
     score_col: str,
     id_col: str = "doc_id",
-    algorithm: str = "star",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Cluster-representative selection: given a near-duplicate pair graph,
     keep exactly ONE document per transitive duplicate cluster — the one
@@ -738,7 +738,12 @@ def keep_best_per_cluster(
     `/root/reference/src/FeatureScreening.jl:163-171`).
 
     Scale shape: clusters come from :func:`connected_components` over the
-    pair graph (only paired ids — a small fraction of the corpus), the
+    pair graph (only paired ids — a small fraction of the corpus). The
+    default CC algorithm is ``minlabel``: its pointer-jumping shortcut
+    makes it O(log diameter) rounds, which is ≤ the star variant's
+    O(log n) on EVERY graph (pass ``algorithm="star"`` to exercise the
+    alternating large-star/small-star path — same output, pinned by the
+    shared oracle). The
     label table joins back to ``df`` on ``id_col`` (AQE broadcasts it when
     small), and the argmax is a ``min_by`` AGGREGATE per component —
     map-side partial aggregation keeps per-task state O(#components seen),
