@@ -1371,6 +1371,88 @@ def _simhash_oracle(num_bits: int = 32, pred: str = "doc_id < 400") -> str:
     """
 
 
+_BOILER_SENTENCE = "subscribe to our newsletter for updates"
+
+
+def q_mask_boilerplate(spark, sf):
+    # Corpus-level repeated-span removal (CCNet line-dedup / ExactSubstr
+    # flavor): word n-grams occurring in >= min_df DISTINCT docs are
+    # boilerplate and get stripped from every document. The synthetic
+    # corpus has no cross-document boilerplate, so it is synthesized
+    # in-query (the established pattern — see q_cosine_neardup): a fixed
+    # sentinel sentence appended to every doc_id % 5 == 0 and prepended to
+    # every doc_id % 7 == 0. The oracle replays the augmentation and the
+    # full df-count + coverage-mask + reassembly in closed-form SQL, so
+    # the cleaned TEXT itself is byte-compared.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        mask_repeated_ngrams,
+    )
+
+    docs = _t(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER_SENTENCE)),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(_BOILER_SENTENCE + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return mask_repeated_ngrams(aug, n=4, min_df=20)
+
+
+def q_semantic_dedup(spark, sf):
+    # SemDeDup-style semantic dedup over embeddings: LSH-bucketed cosine
+    # near-dup pair graph -> connected components -> keep the best member
+    # of each semantic cluster (here: largest L2 norm — in production, a
+    # quality score). Composes cosine_neardup_pairs + keep_best_per_cluster
+    # end-to-end; the oracle brute-forces the exact pair graph, clusters it
+    # with a recursive CTE, and replays the argmax.
+    from featurescreening_jl_spark.operators.dedup import (
+        keep_best_per_cluster,
+    )
+    from featurescreening_jl_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    base = (
+        _t(spark, sf, "embeddings")
+        .where(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    scaled = base.select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 1.5D)").alias("embedding"),
+    )
+    shifted = base.select(
+        (F.col("vec_id") + 20000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x + 0.01D)").alias("embedding"),
+    )
+    corpus = base.unionByName(scaled).unionByName(shifted)
+    pairs = cosine_neardup_pairs(
+        corpus, threshold=0.9, dim=64, n_planes=8, n_tables=6
+    )
+    scored = corpus.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x * x
+            ),
+            2,
+        ).alias("norm2"),
+    )
+    return keep_best_per_cluster(
+        scored, pairs, score_col="norm2", id_col="vec_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1439,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
         "media_frame_sample": q_media_frame_sample,
+        "mask_boilerplate": q_mask_boilerplate,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2818,6 +2902,97 @@ def _oracle_sql_base() -> dict[str, str]:
                          AS n_frames
               FROM range(0, 20)
             ), unnest(generate_series(0, n_frames - 1)) AS u(f)
+        """,
+        "mask_boilerplate": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                            text || ' subscribe to our newsletter for updates'
+                          WHEN doc_id % 7 = 0 THEN
+                            'subscribe to our newsletter for updates ' || text
+                          ELSE text END AS text
+              FROM documents
+            ),
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aug),
+            g AS (
+              SELECT doc_id, ws,
+                     unnest(CASE WHEN len(ws) >= 4 THEN range(0, len(ws) - 3)
+                                 ELSE []::BIGINT[] END) AS pos
+              FROM w
+            ),
+            g2 AS (SELECT doc_id, pos,
+                          array_to_string(ws[pos+1:pos+4], ' ') AS gram
+                   FROM g),
+            b AS (SELECT gram FROM g2 GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 20),
+            cov AS (SELECT doc_id, list(pos) AS starts
+                    FROM g2 JOIN b USING (gram) GROUP BY doc_id),
+            res AS (
+              SELECT w.doc_id, ws, coalesce(cov.starts, []::BIGINT[]) AS st
+              FROM w LEFT JOIN cov USING (doc_id)
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(
+                       list_transform(range(1, len(ws) + 1),
+                         i -> CASE WHEN len(list_filter(st,
+                                       s -> i - 1 >= s AND i - 1 < s + 4)) > 0
+                                   THEN NULL ELSE ws[i] END),
+                       x -> x IS NOT NULL),
+                     ' ') AS text_clean,
+                   len(ws)::BIGINT AS n_words,
+                   (len(ws) - len(list_filter(
+                       list_transform(range(1, len(ws) + 1),
+                         i -> CASE WHEN len(list_filter(st,
+                                       s -> i - 1 >= s AND i - 1 < s + 4)) > 0
+                                   THEN NULL ELSE ws[i] END),
+                       x -> x IS NOT NULL)))::BIGINT AS n_words_removed
+            FROM res
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e
+              FROM embeddings WHERE vec_id < 20
+            ),
+            u AS (
+              SELECT vec_id, e FROM base
+              UNION ALL SELECT vec_id + 10000,
+                               list_transform(e, x -> x * 1.5) FROM base
+              UNION ALL SELECT vec_id + 20000,
+                               list_transform(e, x -> x + 0.01) FROM base
+            ),
+            prs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.e, b.e) >= 0.9
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM prs
+              UNION SELECT id_b, id_a FROM prs
+            ),
+            nodes AS (SELECT DISTINCT src AS id FROM edges),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            sc AS (SELECT vec_id,
+                          round(list_sum(list_transform(e, x -> x * x)), 2)
+                              AS norm2
+                   FROM u),
+            lab AS (
+              SELECT s.vec_id, coalesce(c.component, s.vec_id) AS component,
+                     s.norm2
+              FROM sc s LEFT JOIN comp c ON c.id = s.vec_id
+            )
+            SELECT vec_id, component, n_docs, norm2 FROM (
+              SELECT vec_id, component, norm2,
+                     row_number() OVER (PARTITION BY component
+                                        ORDER BY norm2 DESC, vec_id) AS rk,
+                     count(*) OVER (PARTITION BY component) AS n_docs
+              FROM lab
+            ) WHERE rk = 1
         """,
     }
 

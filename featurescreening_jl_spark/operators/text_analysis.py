@@ -27,6 +27,7 @@ __all__ = [
     "chunk_documents",
     "token_length_histogram",
     "length_quantiles",
+    "mask_repeated_ngrams",
 ]
 
 # Fixed public weights for the logistic quality scorer — a C4/Gopher-style
@@ -664,4 +665,93 @@ def length_quantiles(
         df.select(F.col(by), t.alias("__t"))
         .groupBy(by)
         .agg(*aggs, F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def mask_repeated_ngrams(
+    docs: DataFrame,
+    n: int = 4,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level repeated-span removal (CCNet-style line/boilerplate
+    dedup, ExactSubstr-flavored): delete every word ``n``-gram span that
+    occurs in at least ``min_df`` DISTINCT documents, and reassemble each
+    document from its surviving words. This is the "strip the boilerplate
+    that repeats across the crawl" stage of a training-data pipeline —
+    navigation chrome, subscription prompts, license footers — which
+    per-document dedup (MinHash/SimHash over whole docs) cannot touch.
+
+    Scale shape (the 100 TB design):
+
+    - grams are shuffled as 64-bit ``xxhash64`` keys, never strings — the
+      document-frequency aggregate and the positions⋈boilerplate join move
+      ``(hash, id, pos)`` triples only. A hash collision can only ever
+      mask one extra span (never corrupt counting correctness classes);
+      for 10^12-gram corpora swap in a 128-bit key (two seeded xxhash64
+      columns) to push expected collisions below 1.
+    - document frequency is ``countDistinct`` per gram hash — map-side
+      partial aggregation; the boilerplate set (df ≥ min_df) is tiny
+      relative to the gram table, and AQE broadcast-joins it back.
+    - per-document coverage is a ``collect_list`` of span starts (bounded
+      by words-per-doc) and a word-level higher-order-function filter —
+      no Python, no window, one shuffle for the df-agg + one for the
+      coverage group.
+
+    The token array is bound as a lambda variable via the
+    ``transform(array(x), f)`` trick before per-index lambdas touch it
+    (see :func:`featurescreening_jl_spark.operators.dedup.shingles` —
+    embedding the raw ``split()`` in a HOF body re-evaluates it per
+    index).
+
+    Output: one row per input document — ``id_col``, ``text_clean`` (the
+    document with boilerplate spans removed), ``n_words`` (before),
+    ``n_words_removed``.
+    """
+    toks = F.split(F.col(text_col), " ")
+
+    def gram_hashes(ws):
+        idx = F.sequence(F.lit(0), F.size(ws) - n)
+        return F.transform(
+            idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, n)))
+        )
+
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.element_at(F.transform(F.array(toks), gram_hashes), 1),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    grams = docs.select(
+        F.col(id_col), F.posexplode(gram_arr).alias("pos", "__gh")
+    )
+
+    boiler = (
+        grams.groupBy("__gh")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("__gh")
+    )
+
+    starts = (
+        grams.join(boiler, "__gh")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__starts"))
+    )
+
+    st = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    cleaned = F.filter(
+        toks,
+        lambda w, i: ~F.exists(st, lambda s: (i >= s) & (i < s + n)),
+    )
+    return (
+        docs.join(starts, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(" ", cleaned).alias("text_clean"),
+            F.size(toks).cast("long").alias("n_words"),
+            (F.size(toks) - F.size(cleaned)).cast("long").alias(
+                "n_words_removed"
+            ),
+        )
     )

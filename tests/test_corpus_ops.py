@@ -207,3 +207,75 @@ class TestPII:
         df = spark.createDataFrame([(0, "x 555-123-4567@ex.com y")], ["i", "text"])
         red = df.select(redact_pii(F.col("text")).alias("r")).collect()[0]["r"]
         assert red == "x <EMAIL> y"
+
+
+class TestMaskRepeatedNgrams:
+    """CCNet-style repeated-span removal: word n-grams occurring in
+    >= min_df distinct docs are boilerplate; their spans get stripped and
+    the document is reassembled from surviving words."""
+
+    @pytest.fixture(scope="class")
+    def boiler_docs(self, spark):
+        # "click here to subscribe now" appears in docs 0-2 (df=3);
+        # "alpha beta gamma delta" only in doc 0 (df=1, survives).
+        return spark.createDataFrame(
+            [
+                (0, "alpha beta gamma delta click here to subscribe now"),
+                (1, "click here to subscribe now unique one text"),
+                (2, "prefix words click here to subscribe now suffix"),
+                (3, "totally unrelated content with enough words here"),
+                (4, "tiny doc"),  # shorter than n — untouched
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_boilerplate_stripped_exactly(self, boiler_docs):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            mask_repeated_ngrams,
+        )
+
+        out = {
+            r["doc_id"]: r
+            for r in mask_repeated_ngrams(
+                boiler_docs, n=4, min_df=3
+            ).collect()
+        }
+        # every 4-gram inside the 5-word boilerplate sentence has df=3, so
+        # the union of spans covers all 5 words in each occurrence
+        assert out[0]["text_clean"] == "alpha beta gamma delta"
+        assert out[0]["n_words_removed"] == 5
+        assert out[1]["text_clean"] == "unique one text"
+        assert out[2]["text_clean"] == "prefix words suffix"
+        # df=1 and df=2 grams survive untouched
+        assert (
+            out[3]["text_clean"]
+            == "totally unrelated content with enough words here"
+        )
+        assert out[3]["n_words_removed"] == 0
+        # doc shorter than n: no grams, text unchanged
+        assert out[4]["text_clean"] == "tiny doc"
+        assert out[4]["n_words"] == 2
+
+    def test_overlapping_spans_union(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            mask_repeated_ngrams,
+        )
+
+        # the repeated 4-grams "a b c d" and "c d e f" overlap inside
+        # doc 0; coverage is the UNION of spans, not double-removal
+        docs = spark.createDataFrame(
+            [
+                (0, "x a b c d e f y"),
+                (1, "a b c d tail words here"),
+                (2, "a b c d other filler words"),
+                (3, "lead c d e f words more"),
+                (4, "c d e f yet more filler"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in mask_repeated_ngrams(docs, n=4, min_df=3).collect()
+        }
+        assert out[0]["text_clean"] == "x y"
+        assert out[0]["n_words_removed"] == 6
