@@ -1453,6 +1453,132 @@ def q_semantic_dedup(spark, sf):
     )
 
 
+def q_target_encode(spark, sf):
+    # Leakage-safe (point-in-time) target encoding: each event's encoding
+    # of user_id is the Bayesian-smoothed mean of `value` over that user's
+    # STRICTLY-earlier events (RANGE frame over exact epoch micros — same-
+    # timestamp peers excluded), smoothed toward a prior frozen from the
+    # pre-2024-01-08 period. One shuffle on the key; the prior is one
+    # broadcast scalar, never a global-ordering window.
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        pit_global_prior,
+        pit_target_encode,
+    )
+
+    ev = _t(spark, sf, "events")
+    prior = pit_global_prior(ev, "value", cutoff="2024-01-08")
+    out = pit_target_encode(
+        ev, "user_id", "value", ts_col="ts", prior=prior, smoothing=20.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("te", 4).alias("te"),
+        F.col("te_n").cast("long").alias("te_n"),
+    )
+
+
+def q_decayed_features(spark, sf):
+    # Exponential time-decayed activity features per conversation (1-day
+    # half-life), strictly-prior rows only — closed-form cumulative window
+    # (pure codegen, one conv_id shuffle, zero Python).
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        decayed_time_features,
+    )
+
+    t = _transcripts(spark, sf)
+    out = decayed_time_features(
+        t,
+        ["conv_id"],
+        {"dec_turns": F.lit(1.0), "dec_chars": F.length("text")},
+        ts_col="ts",
+        order_cols=["turn_idx"],
+        half_life_s=86400.0,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.round("dec_turns", 4).alias("dec_turns"),
+        F.round("dec_chars", 4).alias("dec_chars"),
+    )
+
+
+def q_decayed_features_arrow(spark, sf):
+    # The numerically-stable variant of q_decayed_features: segmented-
+    # renormalization applyInPandas (Arrow, vectorized numpy) — the
+    # unbounded-span path for histories longer than ~1000 half-lives.
+    # SAME oracle as the closed form: the two implementations are
+    # independent (JVM codegen vs numpy) and must agree bit-for-bit at
+    # 4 decimals, which is itself a correctness statement.
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        decayed_time_features_stable,
+    )
+
+    t = _transcripts(spark, sf).withColumn("__one", F.lit(1.0)).withColumn(
+        "__chars", F.length("text").cast("double")
+    )
+    out = decayed_time_features_stable(
+        t,
+        ["conv_id"],
+        {"dec_turns": "__one", "dec_chars": "__chars"},
+        ts_col="ts",
+        order_cols=["turn_idx"],
+        half_life_s=86400.0,
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.round("dec_turns", 4).alias("dec_turns"),
+        F.round("dec_chars", 4).alias("dec_chars"),
+    )
+
+
+def q_rolling_folds(spark, sf):
+    # Rolling-origin (expanding-window) cross-validation assignment over
+    # the transcripts table: 3 folds on weekly boundaries. Map-only
+    # explode against broadcast literals — no shuffle, no RNG, the
+    # temporal analogue of hash_split.
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        rolling_origin_folds,
+    )
+
+    t = _transcripts(spark, sf)
+    out = rolling_origin_folds(
+        t,
+        ["2024-01-05", "2024-01-12", "2024-01-19", "2024-01-26"],
+        ts_col="ts",
+    )
+    return out.select("fold", "split", "conv_id", "turn_idx")
+
+
+def q_skew_profile(spark, sf):
+    # Key-skew diagnostics for the transcripts `tool` column (NULL counts
+    # as a value — the most common real-world hot key): top-5 heavy
+    # hitters with exact counts/shares + the skew factor. One map-side-
+    # combined aggregate; everything downstream is O(n_distinct).
+    from featurescreening_jl_spark.operators.profiling import skew_profile
+
+    return skew_profile(_transcripts(spark, sf), "tool", top_n=5)
+
+
+def q_psi_drift(spark, sf):
+    # Population Stability Index of events.value between the reference
+    # period (ts < 2024-01-16) and the current one, over frozen explicit
+    # bin edges — the standard drift gate before a model retrain. One
+    # scan, one tiny aggregate keyed on the bin.
+    from featurescreening_jl_spark.operators.profiling import psi_drift
+
+    ev = _t(spark, sf, "events")
+    return psi_drift(
+        ev,
+        "value",
+        [10.0, 50.0, 100.0, 500.0],
+        ts_col="ts",
+        split="2024-01-16",
+        smoothing=0.5,
+    ).orderBy("bin")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1523,6 +1649,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frame_sample": q_media_frame_sample,
         "mask_boilerplate": q_mask_boilerplate,
         "semantic_dedup": q_semantic_dedup,
+        "target_encode": q_target_encode,
+        "decayed_features": q_decayed_features,
+        "decayed_features_arrow": q_decayed_features_arrow,
+        "rolling_folds": q_rolling_folds,
+        "skew_profile": q_skew_profile,
+        "psi_drift": q_psi_drift,
     }
 
 
@@ -2994,6 +3126,118 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM lab
             ) WHERE rk = 1
         """,
+        # leakage-safe target encoding: strictly-earlier RANGE frame over
+        # exact epoch micros (same-ts peers excluded), prior frozen from
+        # the pre-cutoff period. The scalar subquery replays
+        # pit_global_prior; the window replays pit_target_encode.
+        "target_encode": """
+            WITH p AS (
+              SELECT avg(value) AS prior FROM events
+              WHERE ts < TIMESTAMP '2024-01-08'
+            )
+            SELECT event_id, user_id,
+                   round((coalesce(sum(value) OVER w, 0) + 20.0 * p.prior)
+                         / ((count(value) OVER w) + 20.0), 4) AS te,
+                   (count(value) OVER w)::BIGINT AS te_n
+            FROM events, p
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING)
+        """,
+        # exponential time-decayed features, closed form: the identical
+        # factorization 2^(-x_i) * cumsum(v_j * 2^(x_j)) with x in
+        # half-life units relative to the conversation's first event
+        "decayed_features": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            b AS (
+              SELECT conv_id, turn_idx,
+                     (epoch_us(ts) - min(epoch_us(ts))
+                         OVER (PARTITION BY conv_id))
+                       / 1000000.0 / 86400.0 AS x,
+                     length(text)::DOUBLE AS chars,
+                     ts
+              FROM t
+            )
+            SELECT conv_id, turn_idx,
+                   round(pow(2.0, -x)
+                         * coalesce(sum(1.0 * pow(2.0, x)) OVER w, 0), 4)
+                       AS dec_turns,
+                   round(pow(2.0, -x)
+                         * coalesce(sum(chars * pow(2.0, x)) OVER w, 0), 4)
+                       AS dec_chars
+            FROM b
+            WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        """,
+        # rolling-origin CV: fold k trains strictly before boundary k,
+        # tests in [boundary_k, boundary_{k+1})
+        "rolling_folds": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            f(fold, lo, hi) AS (VALUES
+              (1, TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-12'),
+              (2, TIMESTAMP '2024-01-12', TIMESTAMP '2024-01-19'),
+              (3, TIMESTAMP '2024-01-19', TIMESTAMP '2024-01-26'))
+            SELECT f.fold,
+                   CASE WHEN t.ts < f.lo THEN 'train'
+                        WHEN t.ts < f.hi THEN 'test' END AS split,
+                   t.conv_id, t.turn_idx
+            FROM t CROSS JOIN f
+            WHERE t.ts < f.hi
+        """,
+        # key-skew diagnostics: exact heavy hitters + skew factor; NULL
+        # is a countable value, ties broken (cnt desc, value asc)
+        "skew_profile": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT coalesce(tool, '<NULL>') AS value, count(*) AS cnt
+              FROM t GROUP BY 1
+            ),
+            r AS (
+              SELECT value, cnt,
+                     row_number() OVER (ORDER BY cnt DESC, value) AS rank,
+                     sum(cnt) OVER () AS total,
+                     count(*) OVER () AS n_distinct
+              FROM c
+            ),
+            r2 AS (
+              SELECT *, max(CASE WHEN rank = 1 THEN cnt END) OVER () AS top1
+              FROM r
+            )
+            SELECT 'tool' AS "column", value, cnt,
+                   round(cnt / total, 6) AS share, rank, n_distinct,
+                   round(top1 / (total / n_distinct), 4) AS skew
+            FROM r2 WHERE rank <= 5
+        """,
+        # PSI drift: explicit-edge binning (sum of >= comparisons),
+        # Laplace-smoothed shares, (cur-ref)*ln(cur/ref) per bin
+        "psi_drift": """
+            WITH b AS (
+              SELECT (CASE WHEN value >= 10.0 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 50.0 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 100.0 THEN 1 ELSE 0 END
+                    + CASE WHEN value >= 500.0 THEN 1 ELSE 0 END) AS bin,
+                     (ts < TIMESTAMP '2024-01-16') AS r
+              FROM events
+            ),
+            g AS (
+              SELECT bin,
+                     sum(CASE WHEN r THEN 1 ELSE 0 END) AS ref_cnt,
+                     sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS cur_cnt
+              FROM b GROUP BY bin
+            ),
+            s AS (
+              SELECT bin, ref_cnt, cur_cnt,
+                     (ref_cnt + 0.5) / (sum(ref_cnt) OVER () + 0.5 * 5.0)
+                         AS rs,
+                     (cur_cnt + 0.5) / (sum(cur_cnt) OVER () + 0.5 * 5.0)
+                         AS cs
+              FROM g
+            )
+            SELECT bin, ref_cnt, cur_cnt,
+                   round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
+                   round((cs - rs) * ln(cs / rs), 6) AS psi
+            FROM s ORDER BY bin
+        """,
     }
 
 
@@ -3002,4 +3246,8 @@ def oracle_sql() -> dict[str, str]:
     # the star-algorithm CC query computes the identical clustering —
     # same recursive-CTE oracle, different distributed algorithm
     d["dedup_cc_star"] = d["dedup_cc"]
+    # the Arrow (segmented-renormalization) decay variant computes the
+    # identical quantity as the closed-form window — same oracle; the two
+    # independent implementations agreeing is itself part of the check
+    d["decayed_features_arrow"] = d["decayed_features"]
     return d

@@ -94,6 +94,15 @@ HEADLINE = [
     "length_quantiles",
     "lm_score",
     "minhash_incremental",
+    # round 4: corpus-prep composition pieces + PIT encoders + profiling
+    "mask_boilerplate",
+    "semantic_dedup",
+    "target_encode",
+    "decayed_features",
+    "decayed_features_arrow",
+    "rolling_folds",
+    "skew_profile",
+    "psi_drift",
 ]
 
 

@@ -1,0 +1,317 @@
+"""Leakage-safe (point-in-time) feature encoders over event streams.
+
+Three encoders a feature-engineering pipeline needs on top of the as-of /
+window layer, all with the same zero-temporal-leakage contract as the
+backfill joins (BASELINE.json north_rule): a feature computed at a row's
+timestamp may only see rows with a STRICTLY earlier event time — never
+same-timestamp peers, never the row itself, never the future.
+
+- ``pit_target_encode``   — per-key running target statistics with
+  Bayesian smoothing toward a frozen prior. The classic target-encoding
+  leak (each row's encoding includes its own label, or labels from the
+  same batch/timestamp) is structurally impossible here: the per-key
+  window frame is ``RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``
+  over exact epoch micros, which excludes every row whose ``ts`` equals
+  the current row's. One shuffle on the key; the prior is a broadcast
+  scalar (computed once from rows before a frozen cutoff, see
+  ``pit_global_prior``) so no global-ordering window appears anywhere —
+  a single-partition global window would not survive 100 TB.
+- ``decayed_time_features`` — exponential time-decayed sums over each
+  entity's strictly-prior history (recency-weighted activity features):
+  ``S_i = sum_{j<i} v_j * 2^(-(t_i - t_j)/half_life)``. Expressed in
+  closed form as one cumulative window per entity (pure codegen: the
+  decayed sum factorizes into ``2^(-x_i) * cumsum(v_j * 2^(x_j))`` with
+  ``x`` in half-life units relative to the entity's first event) — zero
+  Python, one shuffle. The factorization overflows doubles when an
+  entity's history spans more than ~1000 half-lives, so it guards with a
+  documented bound; ``decayed_time_features_stable`` is the unbounded-
+  span variant.
+- ``decayed_time_features_stable`` — the same semantics with segmented
+  renormalization (Arrow ``applyInPandas`` per entity, vectorized numpy,
+  no per-row Python loop): histories are cut into fixed 500-half-life
+  segments, the cumulative sum runs within each segment at bounded
+  exponent, and a per-segment carry folds earlier segments down by
+  ``2^(-500 * gap)``. Works for arbitrarily long spans (a years-long
+  conversation with a minutes-scale half-life), which is the 100 TB
+  regime where the closed form is unusable.
+- ``rolling_origin_folds`` — expanding-window (rolling-origin) cross-
+  validation assignment: fold ``k`` trains on rows strictly before
+  boundary ``k`` and tests on rows in ``[boundary_k, boundary_{k+1})``.
+  Pure per-row arithmetic against broadcast literals (map-only, no
+  shuffle, no RNG) — the temporal analogue of ``hash_split``, and the
+  split every time-series model selection needs to avoid look-ahead.
+
+Reference scope: FeatureScreening.jl has no temporal encoders (its
+feature matrix is pre-built; reference ``src/FeatureScreening.jl``); these
+belong to the point-in-time feature-engineering graft layer that replaces
+the matrix-building step upstream of ``screen``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.functions.time import epoch_micros
+
+__all__ = [
+    "pit_global_prior",
+    "pit_target_encode",
+    "decayed_time_features",
+    "decayed_time_features_stable",
+    "rolling_origin_folds",
+]
+
+# Half-lives per renormalization segment in the stable variant. 2^±500 is
+# comfortably inside float64 (max 2^1024); one segment's worth of terms
+# can never overflow, and the carry between adjacent segments multiplies
+# by 2^(-500 * gap) ≤ 2^-500 which underflows gracefully to 0 (histories
+# older than ~500 half-lives contribute < 1e-150 — genuinely nothing).
+_SEGMENT_HALF_LIVES = 500.0
+
+
+def pit_global_prior(
+    df: DataFrame, label: str | Column, ts_col: str = "ts", cutoff=None
+) -> float:
+    """Mean of ``label`` over rows with ``ts < cutoff`` (all rows if no
+    cutoff) — the frozen prior ``pit_target_encode`` smooths toward.
+
+    One aggregate → one driver scalar (bounded metadata, not data). Using
+    a frozen pre-cutoff prior instead of a running global mean is what
+    keeps the encoder scalable: a running global mean is a single-
+    partition ordering window. Returns 0.0 on an empty selection.
+    """
+    lab = F.col(label) if isinstance(label, str) else label
+    sel = df if cutoff is None else df.filter(F.col(ts_col) < F.lit(cutoff))
+    row = sel.agg(F.avg(lab.cast("double")).alias("p")).collect()[0]
+    return float(row["p"]) if row["p"] is not None else 0.0
+
+
+def pit_target_encode(
+    df: DataFrame,
+    key: str,
+    label: str | Column,
+    *,
+    ts_col: str = "ts",
+    prior: float = 0.0,
+    smoothing: float = 20.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Leakage-free target encoding of categorical ``key``.
+
+    For each row, the Bayesian-smoothed mean of ``label`` over the rows of
+    the SAME key with STRICTLY earlier ``ts``::
+
+        te = (sum_prior + smoothing * prior) / (count_prior + smoothing)
+
+    A key's first occurrence (and any row whose only same-key peers share
+    its timestamp) gets exactly ``prior``. Appends ``out_col`` plus the
+    audit columns ``{out_col}_n`` (how many prior labels the encoding
+    saw) — keep them: at serving time a small ``_n`` flags a cold key.
+
+    Scale: one shuffle on ``key`` (the window partition). Skewed keys
+    concentrate their rows, but the frame is cumulative (no per-row
+    re-scan) and the state per partition is O(1) per window function.
+    """
+    lab = (F.col(label) if isinstance(label, str) else label).cast("double")
+    epoch = epoch_micros(F.col(ts_col))
+    strictly_before = (
+        Window.partitionBy(key)
+        .orderBy(epoch)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = F.count(lab).over(strictly_before)
+    s = F.coalesce(F.sum(lab).over(strictly_before), F.lit(0.0))
+    m = F.lit(float(smoothing))
+    denom = cnt.cast("double") + m
+    # smoothing=0 + a cold key would divide 0/0 (ANSI error): such a row
+    # has no information at all — it gets the prior outright
+    te = F.when(
+        denom > 0.0, (s + m * F.lit(float(prior))) / denom
+    ).otherwise(F.lit(float(prior)))
+    return df.withColumn(out_col, te).withColumn(f"{out_col}_n", cnt)
+
+
+def _halflife_x(ts_col: str, part_cols: Sequence[str], half_life_s: float):
+    """Event time in half-life units, relative to the entity's first
+    event (keeps exponents small); also returns the partition window."""
+    epoch = epoch_micros(F.col(ts_col))
+    part = Window.partitionBy(*part_cols)
+    base = F.min(epoch).over(part)
+    x = ((epoch - base) / F.lit(1000000.0)) / F.lit(float(half_life_s))
+    return x
+
+
+def decayed_time_features(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    values: Mapping[str, Column],
+    *,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    half_life_s: float = 86400.0,
+) -> DataFrame:
+    """Exponential time-decayed sums over each entity's strictly-prior
+    rows, in closed form (pure codegen, one shuffle on ``part_cols``).
+
+    For each output name → value column in ``values``::
+
+        out_i = sum_{j < i} v_j * 2^(-(t_i - t_j) / half_life_s)
+
+    "j < i" is row order by ``(ts, *order_cols)`` within the entity, and
+    the decay is by exact event-time difference. The first row of an
+    entity gets 0.0. Factorized as ``2^(-x_i) * cumsum_{j<i}(v_j *
+    2^(x_j))`` with ``x`` relative to the entity's first event.
+
+    Bound: requires the entity's time span ≤ ~1000 half-lives (the
+    ``2^x`` factor otherwise overflows float64). Fine for sessions and
+    conversations; for open-ended histories use
+    ``decayed_time_features_stable``.
+    """
+    x = _halflife_x(ts_col, part_cols, half_life_s)
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = df
+    grow = F.pow(F.lit(2.0), x)
+    shrink = F.pow(F.lit(2.0), -x)
+    for name, v in values.items():
+        prefix = F.sum(v.cast("double") * grow).over(w)
+        out = out.withColumn(name, F.coalesce(shrink * prefix, F.lit(0.0)))
+    return out
+
+
+def decayed_time_features_stable(
+    df: DataFrame,
+    part_cols: Sequence[str],
+    value_cols: Mapping[str, str],
+    *,
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    half_life_s: float = 86400.0,
+) -> DataFrame:
+    """Same semantics as ``decayed_time_features`` (strictly-prior decayed
+    sums), numerically stable for arbitrarily long entity histories.
+
+    Arrow ``applyInPandas`` per entity; inside each group everything is
+    vectorized numpy (no per-row Python). The trick: cut the history at
+    fixed 500-half-life boundaries, run the ``v * 2^(x - seg_base)``
+    cumulative sum within each segment (exponent ≤ 500, no overflow), and
+    fold segments together with a per-segment carry that decays by
+    ``2^(-500 * gap)`` — the loop is over SEGMENTS (span/500 iterations),
+    not rows. ``value_cols`` maps output name → input column name (plain
+    names, not Columns — they cross the Arrow boundary).
+
+    Scale: one shuffle on ``part_cols``; per-group memory is O(group).
+    A single entity with more turns than executor memory should be
+    pre-capped (``per_key_cap``) — same caveat as every grouped-map op.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import kept local
+    import pandas as pd  # noqa: PLC0415
+
+    seg_hl = _SEGMENT_HALF_LIVES
+    ts = ts_col
+    order = list(order_cols)
+    vmap = dict(value_cols)
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_fields = ", ".join(f"`{n}` double" for n in vmap)
+    schema = f"{in_fields}, {out_fields}"
+
+    def _per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts, *order], kind="mergesort").reset_index(
+            drop=True
+        )
+        t = pdf[ts].to_numpy(dtype="datetime64[us]").astype("int64")
+        x = (t - t[0]) / 1.0e6 / half_life_s
+        seg = np.floor(x / seg_hl)
+        rel = x - seg * seg_hl  # in [0, 500)
+        grow = np.exp2(rel)
+        shrink = np.exp2(-rel)
+        # boundaries of the (already ts-sorted, hence seg-sorted) segments
+        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        ends = np.r_[starts[1:], len(x)]
+        sizes = ends - starts
+        for name, src in vmap.items():
+            v = pdf[src].to_numpy(dtype="float64")
+            terms = v * grow
+            # exclusive prefix WITHIN each row's segment. The cumsum must
+            # RESTART at every segment boundary: a single global cumsum
+            # would add a new segment's ~2^0-scale terms into the previous
+            # segment's ~2^500-scale total and cancel them to nothing when
+            # rebased. O(#segments) loop, O(n) total work.
+            prefix = np.empty(len(x))
+            seg_total = np.empty(len(starts))
+            for k in range(len(starts)):
+                sl = slice(starts[k], ends[k])
+                c = np.cumsum(terms[sl])
+                prefix[sl] = c - terms[sl]
+                seg_total[k] = c[-1]
+            # carry: decayed total of all EARLIER segments, expressed at
+            # each segment's own base exponent
+            carry = np.zeros(len(starts))
+            for k in range(1, len(starts)):
+                gap = seg[starts[k]] - seg[starts[k - 1]]
+                carry[k] = (carry[k - 1] + seg_total[k - 1]) * np.exp2(
+                    -seg_hl * gap
+                )
+            pdf[name] = shrink * (prefix + np.repeat(carry, sizes))
+        return pdf
+
+    return df.groupBy(*part_cols).applyInPandas(_per_entity, schema)
+
+
+def rolling_origin_folds(
+    df: DataFrame,
+    boundaries: Iterable,
+    *,
+    ts_col: str = "ts",
+    fold_col: str = "fold",
+    split_col: str = "split",
+) -> DataFrame:
+    """Expanding-window (rolling-origin) cross-validation assignment.
+
+    ``boundaries`` is an ordered list of K+1 timestamps defining K folds:
+    fold ``k`` (1-based) trains on ``ts < boundaries[k-1]`` and tests on
+    ``boundaries[k-1] <= ts < boundaries[k]``. Each input row is emitted
+    once per fold it participates in, tagged ``(fold, 'train'|'test')``;
+    rows outside every fold's horizon are dropped. Train windows expand
+    (fold k's train set contains fold k-1's train ∪ test) — the standard
+    look-ahead-free model-selection split for temporal data.
+
+    Scale: map-only — the fold table is a ~K-element broadcast literal
+    array exploded per row; no shuffle, no RNG, rerun-stable at any
+    partitioning (the temporal analogue of ``hash_split``).
+    """
+    bs = list(boundaries)
+    if len(bs) < 2:
+        raise ValueError("need at least 2 boundaries (K+1 for K folds)")
+    folds = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("__fold"),
+                F.lit(bs[k]).cast("timestamp").alias("__lo"),
+                F.lit(bs[k + 1]).cast("timestamp").alias("__hi"),
+            )
+            for k in range(len(bs) - 1)
+        ]
+    )
+    ts = F.col(ts_col)
+    exploded = df.withColumn("__f", F.explode(folds))
+    return (
+        exploded.withColumn(
+            split_col,
+            F.when(ts < F.col("__f.__lo"), F.lit("train")).when(
+                (ts >= F.col("__f.__lo")) & (ts < F.col("__f.__hi")),
+                F.lit("test"),
+            ),
+        )
+        .filter(F.col(split_col).isNotNull())
+        .withColumn(fold_col, F.col("__f.__fold"))
+        .drop("__f")
+    )

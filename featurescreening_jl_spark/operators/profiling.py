@@ -1,0 +1,145 @@
+"""Data-shape diagnostics: key-skew profiling and distribution drift.
+
+Two operators an operations team runs BEFORE pointing a 100 TB job at a
+table — both are one-aggregation plans whose outputs are tiny (top-N rows
+per column, one row per histogram bin), so they are cheap at any scale:
+
+- ``skew_profile``  — per key column: total rows, distinct keys, the
+  top-N heaviest values with exact counts and corpus shares, and the
+  skew factor (heaviest key's count ÷ the mean per-key count). The
+  north_rule requires "partitioning / shuffle / skew handled
+  explicitly"; this is the measurement half of that contract — the
+  number that tells you whether a groupBy/join on this key needs
+  salting (``asof_join`` and ``per_key_cap`` are the mitigation half).
+  Plan: one hash-aggregate on the key (map-side combined), then top-N
+  over the (already tiny) per-key counts.
+- ``psi_drift``     — Population Stability Index of a numeric column
+  between a reference period (``ts < split``) and the current period,
+  over caller-supplied bin edges: ``PSI = Σ_b (cur_b - ref_b) *
+  ln(cur_b / ref_b)``. The standard feature-drift gate in front of a
+  model retrain (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 broken).
+  Bin edges are explicit literals (derive them once from a frozen
+  reference snapshot) so re-runs are deterministic and the binning is a
+  pure per-row expression — one scan, one tiny aggregate, no quantile
+  recomputation drifting under you. Laplace-style smoothing keeps empty
+  bins finite.
+
+Reference scope: FeatureScreening.jl has no data diagnostics (it takes a
+ready matrix); these belong to the pipeline-operations graft layer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["skew_profile", "psi_drift", "bucketize"]
+
+
+def skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:
+    """Top-N heavy hitters + skew factor for one key column.
+
+    Output (≤ ``top_n`` rows): ``column, value, cnt, share, rank,
+    n_distinct, skew`` where ``share = cnt / total_rows`` and ``skew =
+    top1_cnt / (total_rows / n_distinct)`` (1.0 = perfectly uniform).
+    NULL keys count as a value (a NULL-heavy join key is the most common
+    real-world skew). Deterministic tie-break: count desc, then value.
+
+    Scale: the per-key count aggregate is the only shuffle; everything
+    after runs over ≤ n_distinct rows (and the final rank/totals over a
+    single partition of exactly top-N candidate rows would only matter
+    if n_distinct were huge — the window below orders the PER-KEY COUNT
+    table, which is already the small side; for a key column with
+    billions of distincts, cap with an approximate heavy-hitter pass
+    first).
+    """
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>"))
+    counts = df.groupBy(key.alias("value")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    everything = Window.partitionBy()
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("total", F.sum("cnt").over(everything))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(everything))
+    )
+    top1 = F.max(F.when(F.col("rank") == 1, F.col("cnt"))).over(everything)
+    return (
+        ranked.withColumn("__top1", top1)
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.lit(key_col).alias("column"),
+            "value",
+            "cnt",
+            F.round(F.col("cnt") / F.col("total"), 6).alias("share"),
+            "rank",
+            "n_distinct",
+            F.round(
+                F.col("__top1") / (F.col("total") / F.col("n_distinct")), 4
+            ).alias("skew"),
+        )
+    )
+
+
+def bucketize(value: Column, edges: Sequence[float]) -> Column:
+    """Bin index for explicit ``edges``: 0 for v < edges[0], k for
+    edges[k-1] <= v < edges[k], len(edges) for v >= edges[-1]. A chain of
+    comparisons against literals — pure codegen, no lookup structure."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + F.when(value >= F.lit(float(e)), 1).otherwise(0)
+    return b
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str | Column,
+    edges: Sequence[float],
+    *,
+    ts_col: str = "ts",
+    split,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Population Stability Index per bin, reference vs current period.
+
+    Rows with ``ts < split`` form the reference distribution, the rest the
+    current one. Output: one row per bin (``bin, ref_cnt, cur_cnt,
+    ref_share, cur_share, psi``) — sum ``psi`` for the headline index.
+    Shares are Laplace-smoothed by ``smoothing`` pseudo-counts per bin so
+    an empty bin contributes a finite penalty instead of ±inf.
+
+    Scale: single scan → one hash aggregate keyed on (≤ len(edges)+1)
+    bins; conditional counts make it one pass, not two jobs. Output and
+    the share-normalizing window are O(#bins).
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    is_ref = F.col(ts_col) < F.lit(split)
+    binned = df.select(
+        bucketize(v.cast("double"), edges).alias("bin"), is_ref.alias("__r")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("__r"), 1).otherwise(0)).alias("ref_cnt"),
+        F.sum(F.when(~F.col("__r"), 1).otherwise(0)).alias("cur_cnt"),
+    )
+    everything = Window.partitionBy()
+    n_bins = float(len(edges) + 1)
+    lam = F.lit(float(smoothing))
+    ref_share = (F.col("ref_cnt") + lam) / (
+        F.sum("ref_cnt").over(everything) + lam * F.lit(n_bins)
+    )
+    cur_share = (F.col("cur_cnt") + lam) / (
+        F.sum("cur_cnt").over(everything) + lam * F.lit(n_bins)
+    )
+    return per_bin.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.round(ref_share, 6).alias("ref_share"),
+        F.round(cur_share, 6).alias("cur_share"),
+        F.round(
+            (cur_share - ref_share) * F.log(cur_share / ref_share), 6
+        ).alias("psi"),
+    )

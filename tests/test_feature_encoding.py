@@ -1,0 +1,305 @@
+"""Point-in-time encoders + profiling: leakage pins, numerical stability,
+and the invariants the SQL oracles can't express.
+
+The driver oracle (tools/check_correctness.py → target_encode,
+decayed_features, decayed_features_arrow, rolling_folds, skew_profile,
+psi_drift) checks end-to-end values; these tests pin the *semantics*:
+same-timestamp exclusion, the expanding-window property, long-span
+numerical stability where the closed form would overflow, and the
+zero-drift identity of PSI.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from featurescreening_jl_spark.operators.feature_encoding import (
+    decayed_time_features,
+    decayed_time_features_stable,
+    pit_global_prior,
+    pit_target_encode,
+    rolling_origin_folds,
+)
+from featurescreening_jl_spark.operators.profiling import (
+    bucketize,
+    psi_drift,
+    skew_profile,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------------------
+# pit_target_encode
+# ---------------------------------------------------------------------------
+
+
+def test_target_encode_excludes_same_timestamp_peers(spark):
+    # Two same-key rows sharing an exact timestamp must not see each
+    # other's label — the classic batch-leak. Both get only the strictly
+    # earlier row (label 10.0).
+    rows = [
+        ("k", _ts("2024-01-01T00:00:00"), 10.0, 1),
+        ("k", _ts("2024-01-02T00:00:00"), 100.0, 2),
+        ("k", _ts("2024-01-02T00:00:00"), 200.0, 3),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, y double, i int")
+    out = pit_target_encode(
+        df, "key", "y", ts_col="ts", prior=0.0, smoothing=0.0
+    )
+    got = {r["i"]: (r["te"], r["te_n"]) for r in out.collect()}
+    assert got[1][1] == 0  # first occurrence: nothing earlier
+    assert got[2] == (10.0, 1)
+    assert got[3] == (10.0, 1)  # peer's 100.0 invisible
+
+
+def test_target_encode_first_occurrence_gets_prior(spark):
+    df = spark.createDataFrame(
+        [("a", _ts("2024-01-01T00:00:00"), 5.0)],
+        "key string, ts timestamp, y double",
+    )
+    out = pit_target_encode(
+        df, "key", "y", ts_col="ts", prior=7.5, smoothing=20.0
+    ).collect()[0]
+    assert out["te"] == pytest.approx(7.5)
+    assert out["te_n"] == 0
+
+
+def test_pit_global_prior_cutoff(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts("2024-01-01T00:00:00"), 1.0),
+            (_ts("2024-01-05T00:00:00"), 3.0),
+            (_ts("2024-01-20T00:00:00"), 1000.0),
+        ],
+        "ts timestamp, y double",
+    )
+    assert pit_global_prior(df, "y", cutoff="2024-01-10") == pytest.approx(2.0)
+    assert pit_global_prior(df.limit(0), "y") == 0.0
+
+
+def test_target_encode_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    n = 300
+    pdf = pd.DataFrame(
+        {
+            "key": rng.choice(list("abc"), n),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+            "y": rng.uniform(0, 10, n),
+            "i": np.arange(n),
+        }
+    )
+    out = (
+        pit_target_encode(
+            spark.createDataFrame(pdf), "key", "y", ts_col="ts",
+            prior=5.0, smoothing=3.0,
+        )
+        .select("i", "te")
+        .toPandas()
+        .set_index("i")["te"]
+    )
+    for _, g in pdf.groupby("key"):
+        tsv = g["ts"].to_numpy()
+        yv = g["y"].to_numpy()
+        for pos in range(len(g)):
+            mask = tsv < tsv[pos]
+            want = (yv[mask].sum() + 3.0 * 5.0) / (mask.sum() + 3.0)
+            assert out[g["i"].iloc[pos]] == pytest.approx(want, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# decayed_time_features (closed form + stable Arrow variant)
+# ---------------------------------------------------------------------------
+
+
+def _long_span_frame(n=400, span_half_lives=10_000, hl_s=3600.0, seed=0):
+    rng = np.random.default_rng(seed)
+    t0 = np.datetime64("2000-01-01", "us")
+    ts = t0 + np.sort(
+        rng.integers(0, int(span_half_lives * hl_s * 1e6), n)
+    ).astype("timedelta64[us]")
+    v = rng.uniform(0, 10, n)
+    return pd.DataFrame({"k": 1, "ts": ts, "v": v, "i": np.arange(n)})
+
+
+def test_decayed_variants_agree_on_real_data(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = (
+        decayed_time_features(
+            ev,
+            ["user_id"],
+            {"d_cnt": F.lit(1.0), "d_val": F.col("value")},
+            ts_col="ts",
+            order_cols=["event_id"],
+            half_life_s=86400.0,
+        )
+        .select("event_id", "d_cnt", "d_val")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    b = (
+        decayed_time_features_stable(
+            ev.withColumn("__one", F.lit(1.0)),
+            ["user_id"],
+            {"d_cnt": "__one", "d_val": "value"},
+            ts_col="ts",
+            order_cols=["event_id"],
+            half_life_s=86400.0,
+        )
+        .select("event_id", "d_cnt", "d_val")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # two independent implementations (JVM codegen vs numpy segments)
+    assert np.allclose(a.to_numpy(), b.to_numpy(), atol=1e-9)
+    assert float(a["d_cnt"].max()) > 0.5  # non-vacuous: real decay mass
+
+
+def test_decayed_stable_long_span_matches_bruteforce(spark):
+    # 10,000 half-lives of span: the closed form's 2^x factor would need
+    # 2^10000 (double overflows at 2^1024) — the segmented variant must
+    # still match an exact brute force computed at bounded exponents.
+    pdf = _long_span_frame()
+    out = (
+        decayed_time_features_stable(
+            spark.createDataFrame(pdf),
+            ["k"],
+            {"d": "v"},
+            ts_col="ts",
+            order_cols=["i"],
+            half_life_s=3600.0,
+        )
+        .toPandas()
+        .sort_values("i")["d"]
+        .to_numpy()
+    )
+    x = (pdf["ts"].to_numpy() - pdf["ts"].to_numpy()[0]).astype(
+        "int64"
+    ) / 1e6 / 3600.0
+    v = pdf["v"].to_numpy()
+    brute = np.array(
+        [
+            np.sum(v[:i] * np.exp2(np.clip(x[:i] - x[i], -1074, 0)))
+            for i in range(len(v))
+        ]
+    )
+    assert np.all(np.isfinite(out))
+    assert np.allclose(out, brute, atol=1e-9)
+
+
+def test_decayed_closed_form_first_row_zero_and_monotone_weighting(spark):
+    rows = [
+        ("c", _ts("2024-01-01T00:00:00"), 1),
+        ("c", _ts("2024-01-02T00:00:00"), 2),  # 1 half-life later
+        ("c", _ts("2024-01-03T00:00:00"), 3),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, i int")
+    out = (
+        decayed_time_features(
+            df, ["k"], {"d": F.lit(1.0)}, ts_col="ts",
+            order_cols=["i"], half_life_s=86400.0,
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert out[0]["d"] == 0.0
+    assert out[1]["d"] == pytest.approx(0.5)
+    assert out[2]["d"] == pytest.approx(0.25 + 0.5)
+
+
+# ---------------------------------------------------------------------------
+# rolling_origin_folds
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_folds_expanding_and_disjoint(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    f = rolling_origin_folds(
+        ev, ["2024-01-08", "2024-01-15", "2024-01-22"], ts_col="ts"
+    )
+    agg = {
+        (r["fold"], r["split"]): set(r["ids"])
+        for r in f.groupBy("fold", "split")
+        .agg(F.collect_set("event_id").alias("ids"))
+        .collect()
+    }
+    # expanding: fold 2's train is exactly fold 1's train ∪ test
+    assert agg[(2, "train")] == agg[(1, "train")] | agg[(1, "test")]
+    # within a fold, train and test never share a row
+    for k in (1, 2):
+        assert not (agg[(k, "train")] & agg[(k, "test")])
+    with pytest.raises(ValueError):
+        rolling_origin_folds(ev, ["2024-01-08"], ts_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# profiling
+# ---------------------------------------------------------------------------
+
+
+def test_skew_profile_counts_null_and_orders(spark):
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [(None,)] * 3 + [("b",)] * 1, "k string"
+    )
+    rows = skew_profile(df, "k", top_n=3).orderBy("rank").collect()
+    assert [(r["value"], r["cnt"]) for r in rows] == [
+        ("a", 6), ("<NULL>", 3), ("b", 1),
+    ]
+    assert rows[0]["n_distinct"] == 3
+    # top1=6, uniform per-key mean = 10/3 → skew = 1.8
+    assert rows[0]["skew"] == pytest.approx(1.8)
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_bucketize_golden(spark):
+    df = spark.createDataFrame(
+        [(v,) for v in (-5.0, 0.0, 9.9, 10.0, 49.0, 50.0, 1e9)], "v double"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            bucketize(F.col("v"), [0.0, 10.0, 50.0]).alias("b")
+        ).collect()
+    ]
+    assert got == [0, 1, 1, 2, 2, 3, 3]
+
+
+def test_psi_zero_on_identical_distribution(spark):
+    # same value distribution before and after the split → every bin's
+    # contribution is ~0 (exactly 0 up to smoothing of equal counts)
+    rows = []
+    for day, base in (("2024-01-05", 0), ("2024-01-25", 0)):
+        rows += [(_ts(f"{day}T00:00:00"), float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = psi_drift(
+        df, "value", [25.0, 50.0, 75.0], ts_col="ts", split="2024-01-15"
+    ).collect()
+    assert sum(abs(r["psi"]) for r in out) < 1e-9
+    assert {r["bin"] for r in out} == {0, 1, 2, 3}
+
+
+def test_psi_detects_shift(spark):
+    rows = [
+        (_ts("2024-01-05T00:00:00"), float(v)) for v in range(100)
+    ] + [
+        (_ts("2024-01-25T00:00:00"), float(v) + 60.0) for v in range(100)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    total = sum(
+        r["psi"]
+        for r in psi_drift(
+            df, "value", [25.0, 50.0, 75.0], ts_col="ts",
+            split="2024-01-15",
+        ).collect()
+    )
+    assert total > 0.25  # "broken" threshold for a 60% quantile shift
