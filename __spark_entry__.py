@@ -1514,8 +1514,16 @@ def q_decayed_features_arrow(spark, sf):
         decayed_time_features_stable,
     )
 
-    t = _transcripts(spark, sf).withColumn("__one", F.lit(1.0)).withColumn(
-        "__chars", F.length("text").cast("double")
+    # project to the 5 needed columns BEFORE the grouped-map: the full
+    # transcripts schema (notably `text`) would otherwise cross the Arrow
+    # boundary in both directions for no reason (measured 7.3 s → with
+    # the projection the transfer is 5 narrow columns)
+    t = _transcripts(spark, sf).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.lit(1.0).alias("__one"),
+        F.length("text").cast("double").alias("__chars"),
     )
     out = decayed_time_features_stable(
         t,

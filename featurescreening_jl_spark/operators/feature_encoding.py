@@ -197,24 +197,36 @@ def decayed_time_features_stable(
     """Same semantics as ``decayed_time_features`` (strictly-prior decayed
     sums), numerically stable for arbitrarily long entity histories.
 
-    Arrow ``applyInPandas`` per entity; inside each group everything is
-    vectorized numpy (no per-row Python). The trick: cut the history at
-    fixed 500-half-life boundaries, run the ``v * 2^(x - seg_base)``
-    cumulative sum within each segment (exponent ≤ 500, no overflow), and
-    fold segments together with a per-segment carry that decays by
-    ``2^(-500 * gap)`` — the loop is over SEGMENTS (span/500 iterations),
-    not rows. ``value_cols`` maps output name → input column name (plain
-    names, not Columns — they cross the Arrow boundary).
+    Arrow ``mapInPandas`` over hash-partitioned, sorted partitions — NOT
+    a per-group ``applyInPandas``: the grouped-map form pays the pandas
+    per-call machinery once per ENTITY (~2.7 ms/group measured — 4 s of
+    pure Python-call overhead for 1,500 conversations, and at 10^9
+    conversations a non-starter), while here each Arrow batch is
+    processed as one vectorized block covering many entities, with
+    entity boundaries handled as just another segment reset. A block's
+    trailing (possibly batch-split) entity is held back and stitched to
+    the next batch, so entities never straddle a processing block.
 
-    Scale: one shuffle on ``part_cols``; per-group memory is O(group).
-    A single entity with more turns than executor memory should be
-    pre-capped (``per_key_cap``) — same caveat as every grouped-map op.
+    The stability trick: cut each entity's history at fixed
+    500-half-life boundaries, run the ``v * 2^(x - seg_base)``
+    cumulative sum within each segment (exponent ≤ 500, no overflow),
+    and fold segments together with a per-segment carry that decays by
+    ``2^(-500 * gap)`` (reset to 0 at entity changes). The only Python
+    loop is over (entity × segment) runs of tiny numpy slices.
+    ``value_cols`` maps output name → input column name (plain names,
+    not Columns — they cross the Arrow boundary).
+
+    Scale: one shuffle on ``part_cols`` (repartition + in-partition
+    sort); per-batch memory is O(batch + largest single entity). A
+    single entity with more rows than executor memory should be
+    pre-capped (``per_key_cap``) — same caveat as every grouped op.
     """
     import numpy as np  # noqa: PLC0415 — worker-side import kept local
     import pandas as pd  # noqa: PLC0415
 
     seg_hl = _SEGMENT_HALF_LIVES
     ts = ts_col
+    parts = list(part_cols)
     order = list(order_cols)
     vmap = dict(value_cols)
     in_fields = ", ".join(
@@ -223,39 +235,50 @@ def decayed_time_features_stable(
     out_fields = ", ".join(f"`{n}` double" for n in vmap)
     schema = f"{in_fields}, {out_fields}"
 
-    def _per_entity(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts, *order], kind="mergesort").reset_index(
-            drop=True
-        )
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        # pdf: sorted by (parts, ts, order), every entity complete
         t = pdf[ts].to_numpy(dtype="datetime64[us]").astype("int64")
-        x = (t - t[0]) / 1.0e6 / half_life_s
+        gchange = np.zeros(len(pdf), dtype=bool)
+        gchange[0] = True
+        for c in parts:
+            col = pdf[c].to_numpy()
+            gchange[1:] |= col[1:] != col[:-1]
+        gstarts = np.flatnonzero(gchange)
+        gsizes = np.diff(np.r_[gstarts, len(pdf)])
+        # x relative to each entity's first (min, since sorted) event
+        x = (t - np.repeat(t[gstarts], gsizes)) / 1.0e6 / half_life_s
         seg = np.floor(x / seg_hl)
         rel = x - seg * seg_hl  # in [0, 500)
         grow = np.exp2(rel)
         shrink = np.exp2(-rel)
-        # boundaries of the (already ts-sorted, hence seg-sorted) segments
-        starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
-        ends = np.r_[starts[1:], len(x)]
+        # processing runs restart at entity OR 500-half-life boundaries
+        change = gchange.copy()
+        change[1:] |= seg[1:] != seg[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.r_[starts[1:], len(pdf)]
         sizes = ends - starts
+        new_entity = gchange[starts]
         for name, src in vmap.items():
             v = pdf[src].to_numpy(dtype="float64")
             terms = v * grow
-            # exclusive prefix WITHIN each row's segment. The cumsum must
-            # RESTART at every segment boundary: a single global cumsum
-            # would add a new segment's ~2^0-scale terms into the previous
-            # segment's ~2^500-scale total and cancel them to nothing when
-            # rebased. O(#segments) loop, O(n) total work.
-            prefix = np.empty(len(x))
+            # exclusive prefix WITHIN each run. The cumsum must RESTART
+            # at every boundary: a single global cumsum would add a new
+            # segment's ~2^0-scale terms into the previous segment's
+            # ~2^500-scale total and cancel them to nothing when rebased.
+            prefix = np.empty(len(pdf))
             seg_total = np.empty(len(starts))
             for k in range(len(starts)):
                 sl = slice(starts[k], ends[k])
                 c = np.cumsum(terms[sl])
                 prefix[sl] = c - terms[sl]
                 seg_total[k] = c[-1]
-            # carry: decayed total of all EARLIER segments, expressed at
-            # each segment's own base exponent
+            # carry: decayed total of the entity's EARLIER segments,
+            # expressed at each segment's own base exponent; a new
+            # entity starts from 0
             carry = np.zeros(len(starts))
             for k in range(1, len(starts)):
+                if new_entity[k]:
+                    continue
                 gap = seg[starts[k]] - seg[starts[k - 1]]
                 carry[k] = (carry[k - 1] + seg_total[k - 1]) * np.exp2(
                     -seg_hl * gap
@@ -263,7 +286,33 @@ def decayed_time_features_stable(
             pdf[name] = shrink * (prefix + np.repeat(carry, sizes))
         return pdf
 
-    return df.groupBy(*part_cols).applyInPandas(_per_entity, schema)
+    def _stitch(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # the trailing entity may continue in the next batch — hold
+            # it back. Entities are contiguous (partition sorted), so the
+            # suffix of rows equal to the last key IS the trailing entity.
+            tail = np.ones(len(pdf), dtype=bool)
+            for c in parts:
+                col = pdf[c].to_numpy()
+                tail &= col == col[-1]
+            # first index of the trailing contiguous run
+            nz = np.flatnonzero(~tail)
+            cut = (nz[-1] + 1) if len(nz) else 0
+            if cut:
+                yield _block(pdf.iloc[:cut].reset_index(drop=True))
+            buf = pdf.iloc[cut:].reset_index(drop=True)
+        if buf is not None and len(buf):
+            yield _block(buf)
+
+    prepped = df.repartition(*parts).sortWithinPartitions(
+        *parts, ts, *order
+    )
+    return prepped.mapInPandas(_stitch, schema)
 
 
 def rolling_origin_folds(

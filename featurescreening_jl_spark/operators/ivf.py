@@ -40,7 +40,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurescreening_jl_spark.functions.vector import cosine
+from featurescreening_jl_spark.functions.vector import cosine, double_array_literal
 from featurescreening_jl_spark.operators.similarity import _require_dim
 
 __all__ = ["train_centroids", "assign_cells", "ivf_topk"]
@@ -103,12 +103,7 @@ def _centroid_dots(vec_col, centroids: np.ndarray):
     literal (n_cells × dim) walked with higher-order functions, one plan
     node total (the ``_table_buckets`` lesson: per-centroid expression
     trees blow up Catalyst analysis)."""
-    lit = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in centroids.tolist()
-        ]
-    )
+    lit = double_array_literal(centroids.tolist())
     return F.transform(
         lit,
         lambda c: F.aggregate(

@@ -16,7 +16,12 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurescreening_jl_spark.functions.vector import cosine, dot, norm
+from featurescreening_jl_spark.functions.vector import (
+    cosine,
+    dot,
+    double_array_literal,
+    norm,
+)
 
 __all__ = ["brute_force_topk", "lsh_topk", "cosine_neardup_pairs"]
 
@@ -87,17 +92,7 @@ def _table_buckets(vec_col, tables: list[list[list[float]]]):
     analysis/codegen the dominant cost at small row counts (measured 14s
     for 516 rows).
     """
-    planes_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in plane])
-                    for plane in tbl
-                ]
-            )
-            for tbl in tables
-        ]
-    )
+    planes_lit = double_array_literal(tables)
     return F.transform(
         planes_lit,
         lambda tbl: F.aggregate(

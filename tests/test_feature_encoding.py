@@ -217,6 +217,42 @@ def test_decayed_closed_form_first_row_zero_and_monotone_weighting(spark):
     assert out[2]["d"] == pytest.approx(0.25 + 0.5)
 
 
+def test_decayed_stable_cross_batch_stitching(spark):
+    # force tiny Arrow batches so single conversations straddle many
+    # mapInPandas batches — the held-back-tail stitching must make batch
+    # size invisible to the result
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    args = dict(ts_col="ts", order_cols=["event_id"], half_life_s=86400.0)
+    try:
+        spark.conf.set(key, "7")
+        tiny = (
+            decayed_time_features_stable(
+                ev.withColumn("__one", F.lit(1.0)),
+                ["user_id"],
+                {"d": "__one"},
+                **args,
+            )
+            .select("event_id", "d")
+            .toPandas()
+            .set_index("event_id")
+            .sort_index()
+        )
+    finally:
+        spark.conf.set(key, old)
+    ref = (
+        decayed_time_features(
+            ev, ["user_id"], {"d": F.lit(1.0)}, **args
+        )
+        .select("event_id", "d")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert np.allclose(tiny["d"].to_numpy(), ref["d"].to_numpy(), atol=1e-9)
+
+
 # ---------------------------------------------------------------------------
 # rolling_origin_folds
 # ---------------------------------------------------------------------------
