@@ -1587,6 +1587,20 @@ def q_psi_drift(spark, sf):
     ).orderBy("bin")
 
 
+def q_heavy_hitters(spark, sf):
+    # Two-phase exact-count heavy hitters: per-partition Misra-Gries
+    # candidates (Arrow-batched, never a per-row Python crossing) ->
+    # broadcast the tiny candidate set back -> exact recount of candidate
+    # rows only. The aggregate never keys on the column's full
+    # cardinality. m=4096 makes the top-k guarantee unconditional on this
+    # corpus (every key with freq > N/4097 survives; here m > distincts),
+    # so the exact-SQL oracle is a valid check.
+    from featurescreening_jl_spark.operators.profiling import heavy_hitters
+
+    ev = _t(spark, sf, "events")
+    return heavy_hitters(ev, "user_id", k=10, m=4096)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1663,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_folds": q_rolling_folds,
         "skew_profile": q_skew_profile,
         "psi_drift": q_psi_drift,
+        "heavy_hitters": q_heavy_hitters,
     }
 
 
@@ -3245,6 +3260,18 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
                    round((cs - rs) * ln(cs / rs), 6) AS psi
             FROM s ORDER BY bin
+        """,
+        # exact top-k heavy hitters (m > corpus cardinality makes the
+        # two-phase MG path unconditionally exact -> plain SQL oracle)
+        "heavy_hitters": """
+            SELECT value, cnt, rank FROM (
+              SELECT coalesce(user_id::VARCHAR, '<NULL>') AS value,
+                     count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC,
+                                        coalesce(user_id::VARCHAR, '<NULL>'))
+                         AS rank
+              FROM events GROUP BY 1
+            ) WHERE rank <= 10
         """,
     }
 

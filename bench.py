@@ -103,6 +103,7 @@ HEADLINE = [
     "rolling_folds",
     "skew_profile",
     "psi_drift",
+    "heavy_hitters",
 ]
 
 

@@ -35,7 +35,73 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["skew_profile", "psi_drift", "bucketize"]
+__all__ = ["skew_profile", "psi_drift", "bucketize", "heavy_hitters"]
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, k: int = 10, m: int = 1024
+) -> DataFrame:
+    """Top-k keys with EXACT counts, without a full-cardinality groupBy —
+    the scale path ``skew_profile`` defers to when the key column has
+    more distincts than a per-key count table should hold.
+
+    Two phases:
+
+    1. **Candidates** — a per-partition Misra–Gries sketch (``m``
+       counters) streamed over Arrow batches: batch ``value_counts`` is
+       vectorized C, the MG merge-and-decrement touches only the
+       sketch's ≤ a-few-× ``m`` entries per batch (never per row). MG is
+       mergeable, so every key with global frequency > N/(m+1) is
+       guaranteed to survive in at least one partition's sketch
+       (pigeonhole: it must be locally that frequent somewhere).
+    2. **Exact recount** — the candidate set (≤ m × partitions keys,
+       tiny) broadcasts back; only candidate rows are counted, so the
+       aggregate's key space is the candidate set, not the column's
+       cardinality.
+
+    Counts in the output are exact. The top-k is exact whenever the
+    k-th true count exceeds N/(m+1) (size ``m`` to taste: the driver
+    query uses m large enough to make the guarantee unconditional on
+    the test corpus; a pytest pins the small-m guarantee on a skewed
+    synthetic). NULL keys count as the value ``<NULL>``, same contract
+    as ``skew_profile``. Output: ``value, cnt, rank``.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import kept local
+
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("<NULL>"))
+    keyed = df.select(key.alias("value"))
+
+    def mg_candidates(batches):
+        import numpy as np  # noqa: PLC0415
+
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf["value"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > m:
+                # Misra–Gries shrink: subtract the (m+1)-th largest
+                # count from everyone, drop the non-positive
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                t = int(np.partition(vals, -(m + 1))[-(m + 1)])
+                counters = {
+                    v: c - t for v, c in counters.items() if c - t > 0
+                }
+        yield pd.DataFrame({"value": list(counters.keys())})
+
+    candidates = keyed.mapInPandas(mg_candidates, "value string").distinct()
+    counts = (
+        keyed.join(F.broadcast(candidates), "value")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("value", "cnt", "rank")
+    )
 
 
 def skew_profile(df: DataFrame, key_col: str, top_n: int = 5) -> DataFrame:

@@ -324,6 +324,47 @@ def test_psi_zero_on_identical_distribution(spark):
     assert {r["bin"] for r in out} == {0, 1, 2, 3}
 
 
+def test_heavy_hitters_small_m_guarantee(spark):
+    # zipf-ish synthetic: one key holds 40% of rows. With m=8 counters
+    # per partition the MG guarantee (every key with freq > N/(m+1)
+    # survives phase 1) must still surface it with its EXACT count.
+    from featurescreening_jl_spark.operators.profiling import heavy_hitters
+
+    rows = (
+        [("hot",)] * 4000
+        + [(f"warm{i}",) for i in range(4) for _ in range(500)]
+        + [(f"cold{i}",) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    got = {
+        r["value"]: r["cnt"]
+        for r in heavy_hitters(df, "k", k=5, m=8).collect()
+    }
+    assert got["hot"] == 4000  # exact, not approximate
+    for i in range(4):
+        assert got[f"warm{i}"] == 500
+
+
+def test_heavy_hitters_matches_exact_with_large_m(spark):
+    from featurescreening_jl_spark.operators.profiling import heavy_hitters
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = [
+        (r["value"], r["cnt"], r["rank"])
+        for r in heavy_hitters(ev, "event_type", k=3, m=4096).collect()
+    ]
+    exact = (
+        ev.groupBy(F.col("event_type").alias("value"))
+        .count()
+        .orderBy(F.desc("count"), F.asc("value"))
+        .limit(3)
+        .collect()
+    )
+    assert got == [
+        (r["value"], r["count"], i + 1) for i, r in enumerate(exact)
+    ]
+
+
 def test_psi_detects_shift(spark):
     rows = [
         (_ts("2024-01-05T00:00:00"), float(v)) for v in range(100)
