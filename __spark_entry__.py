@@ -1587,6 +1587,28 @@ def q_psi_drift(spark, sf):
     ).orderBy("bin")
 
 
+def q_sft_pairs(spark, sf):
+    # (context -> response) SFT pair mining: one example per assistant
+    # turn, context = the most-recent prior turns that fit a 2000-char
+    # budget (cap decided arithmetically from prefix sums, not trial
+    # re-rendering), rendered in the <|role|>text chat format. One window
+    # pass per conversation; the oracle replays prefix sums + the
+    # bounded self-join and string_agg's the identical rendering.
+    from featurescreening_jl_spark.operators.conversations import sft_pairs
+
+    t = _transcripts(spark, sf)
+    out = sft_pairs(
+        t, max_context_turns=8, max_context_chars=2000
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "context",
+        "target",
+        F.col("n_context_turns").cast("long").alias("n_context_turns"),
+    )
+
+
 def q_heavy_hitters(spark, sf):
     # Two-phase exact-count heavy hitters: per-partition Misra-Gries
     # candidates (Arrow-batched, never a per-row Python crossing) ->
@@ -1678,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "psi_drift": q_psi_drift,
         "heavy_hitters": q_heavy_hitters,
+        "sft_pairs": q_sft_pairs,
     }
 
 
@@ -3272,6 +3295,37 @@ def _oracle_sql_base() -> dict[str, str]:
                          AS rank
               FROM events GROUP BY 1
             ) WHERE rank <= 10
+        """,
+# SFT pair mining: prefix sums decide the char-capped context
+        # suffix; dense turn_idx makes the ROWS window a turn_idx range
+        "sft_pairs": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            c AS (
+              SELECT conv_id, turn_idx, role,
+                     coalesce(text, '') AS text,
+                     sum(length(role) + length(coalesce(text, '')) + 5)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                     - (length(role) + length(coalesce(text, '')) + 5)
+                         AS s_prev
+              FROM t
+            ),
+            prs AS (
+              SELECT a.conv_id, a.turn_idx, a.text AS target,
+                     p.turn_idx AS p_idx, p.role AS p_role,
+                     p.text AS p_text
+              FROM c a JOIN c p ON p.conv_id = a.conv_id
+               AND p.turn_idx BETWEEN a.turn_idx - 8 AND a.turn_idx - 1
+               AND p.s_prev >= a.s_prev - 2000
+              WHERE a.role = 'assistant'
+            )
+            SELECT conv_id, turn_idx,
+                   string_agg('<|' || p_role || '|>' || p_text, chr(10)
+                              ORDER BY p_idx) AS context,
+                   any_value(target) AS target,
+                   count(*)::BIGINT AS n_context_turns
+            FROM prs GROUP BY conv_id, turn_idx
         """,
     }
 

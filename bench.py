@@ -104,6 +104,7 @@ HEADLINE = [
     "skew_profile",
     "psi_drift",
     "heavy_hitters",
+    "sft_pairs",
 ]
 
 

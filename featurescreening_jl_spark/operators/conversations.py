@@ -34,7 +34,98 @@ __all__ = [
     "truncate_to_token_budget",
     "conversation_validity",
     "render_chat",
+    "sft_pairs",
 ]
+
+
+def sft_pairs(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+    max_context_turns: int = 8,
+    max_context_chars: int = 2000,
+    sep: str = "\n",
+) -> DataFrame:
+    """Mine (context → response) training pairs from transcripts: one
+    example per ``target_role`` turn, whose context is the most-recent
+    prior turns that fit ``max_context_chars`` (and at most
+    ``max_context_turns``), rendered in ``render_chat``'s
+    ``<|role|>text`` format.
+
+    The char cap keeps a SUFFIX of the recent turns (drop oldest first),
+    decided arithmetically, not by trial re-rendering: with per-turn
+    rendered contribution ``c_j = len(role)+len(text)+5`` (the
+    ``<|``/``|>`` frame plus one separator) and prefix sums ``S`` over
+    the conversation order, prior turn ``p`` fits iff
+    ``S[anchor-1] - S[p-1] <= max_context_chars``. ``S`` is monotone, so
+    the kept set is exactly the greedy most-recent-first selection.
+
+    One window pass per conversation (prefix sum + a bounded
+    ``collect_list`` of the last ``max_context_turns`` turns), then
+    per-row HOF filter/render — no UDF, no self-join, one shuffle on
+    ``by``. Anchors with zero surviving context are dropped (nothing to
+    condition on).
+
+    Output: ``by``, ``order_col`` (the anchor), ``context``, ``target``,
+    ``n_context_turns``.
+    """
+    contrib = (
+        F.length(F.col(role_col))
+        + F.length(F.coalesce(F.col(text_col), F.lit("")))
+        + F.lit(4 + len(sep))
+    )
+    w_order = Window.partitionBy(by).orderBy(order_col)
+    s = F.sum(contrib).over(
+        w_order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prior = F.struct(
+        F.col(order_col).alias("o"),
+        F.col(role_col).alias("r"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+        (s - contrib).alias("s_prev"),
+    )
+    ctx = F.collect_list(prior).over(
+        w_order.rowsBetween(-max_context_turns, -1)
+    )
+    base = df.select(
+        F.col(by),
+        F.col(order_col),
+        F.col(role_col),
+        F.coalesce(F.col(text_col), F.lit("")).alias("__target"),
+        (s - contrib).alias("__s_prev"),
+        ctx.alias("__ctx"),
+    ).where(F.col(role_col) == target_role)
+    kept = F.filter(
+        F.col("__ctx"),
+        lambda e: e["s_prev"]
+        >= F.col("__s_prev") - F.lit(int(max_context_chars)),
+    )
+    # project the filtered list ONCE, then render from the projected
+    # column — rendering from the `kept` expression directly would
+    # re-evaluate the filter per consumer (the HOF re-evaluation trap
+    # family, see tests/test_plans.py)
+    context = F.array_join(
+        F.transform(
+            F.col("__kept"),
+            lambda x: F.concat(F.lit("<|"), x["r"], F.lit("|>"), x["t"]),
+        ),
+        sep,
+    )
+    return (
+        base.withColumn("__kept", kept)
+        .where(F.size("__kept") > 0)
+        .select(
+            by,
+            order_col,
+            context.alias("context"),
+            F.col("__target").alias("target"),
+            F.size("__kept").alias("n_context_turns"),
+        )
+    )
 
 
 def truncate_to_token_budget(

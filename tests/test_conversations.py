@@ -175,3 +175,45 @@ class TestParseJsonFields:
         df = spark.createDataFrame([(0, '{"k": 42}')], ["i", "props"])
         v = df.select(json_field(F.col("props"), "$.k", "bigint").alias("k"))
         assert v.collect()[0]["k"] == 42
+
+
+def test_sft_pairs_char_budget_keeps_recent_suffix(spark):
+    from pyspark.sql import functions as F
+
+    from featurescreening_jl_spark.operators.conversations import sft_pairs
+
+    # contributions: len(role)+len(text)+5
+    rows = [
+        ("c", 0, "user", "aaaaaaaaaa"),       # 10 chars -> contrib 19
+        ("c", 1, "assistant", "bb"),          # contrib 16
+        ("c", 2, "user", "cccc"),             # contrib 13
+        ("c", 3, "assistant", "dddd"),        # anchor
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    # budget 30: before anchor 3, suffix sums are turn2=13, +turn1=29,
+    # +turn0=48 -> keep turns 1 and 2 only (most-recent-first greedy)
+    out = {
+        r["turn_idx"]: r
+        for r in sft_pairs(df, max_context_turns=8, max_context_chars=30).collect()
+    }
+    assert out[3]["context"] == "<|assistant|>bb\n<|user|>cccc"
+    assert out[3]["n_context_turns"] == 2
+    assert out[3]["target"] == "dddd"
+    # anchor 1 has turn 0 in range (19 <= 30) -> kept
+    assert out[1]["context"] == "<|user|>aaaaaaaaaa"
+    # max_context_turns caps the window: with cap=1 only turn 2 is visible
+    out1 = {
+        r["turn_idx"]: r
+        for r in sft_pairs(df, max_context_turns=1, max_context_chars=10**6).collect()
+    }
+    assert out1[3]["context"] == "<|user|>cccc"
+    assert out1[3]["n_context_turns"] == 1
+
+
+def test_sft_pairs_drops_contextless_anchor(spark):
+    from featurescreening_jl_spark.operators.conversations import sft_pairs
+
+    rows = [("c", 0, "assistant", "opener"), ("c", 1, "user", "q")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    got = sft_pairs(df).collect()
+    assert got == []  # the only assistant turn has no prior context
