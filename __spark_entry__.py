@@ -1609,6 +1609,47 @@ def q_sft_pairs(spark, sf):
     )
 
 
+def q_oof_target_encode(spark, sf):
+    # Out-of-fold target encoding (the CV-consistent encoder): each
+    # event's encoding of user_id excludes its own hash-fold's labels,
+    # prior included. Folds come from the portable md5 hash (hash_unit),
+    # so the oracle reconstructs the identical assignment.
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        oof_target_encode,
+    )
+    from featurescreening_jl_spark.operators.sampling import hash_unit
+
+    ev = _t(spark, sf, "events")
+    fold = F.floor(hash_unit(F.col("event_id"), seed=42) * 5).cast("int")
+    out = oof_target_encode(
+        ev, "user_id", "value", fold=fold, n_folds=5, smoothing=20.0
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("te", 4).alias("te"),
+        F.col("te_n").cast("long").alias("te_n"),
+    )
+
+
+def q_project_embeddings(spark, sf):
+    # Johnson-Lindenstrauss random projection 64 -> 8 dims: map-only, the
+    # seeded matrix is ONE literal, each coordinate a codegen'd dot
+    # product. The oracle reconstructs the identical matrix from
+    # (in_dim, out_dim, seed) and replays list_dot_product per dim.
+    from featurescreening_jl_spark.operators.similarity import (
+        project_embeddings,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = project_embeddings(emb, in_dim=64, out_dim=8, seed=17)
+    return out.select(
+        "vec_id", F.posexplode("projected").alias("dim_idx", "val")
+    ).select("vec_id", "dim_idx", F.round("val", 4).alias("val"))
+
+
 def q_heavy_hitters(spark, sf):
     # Two-phase exact-count heavy hitters: per-partition Misra-Gries
     # candidates (Arrow-batched, never a per-row Python crossing) ->
@@ -1701,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "heavy_hitters": q_heavy_hitters,
         "sft_pairs": q_sft_pairs,
+        "oof_target_encode": q_oof_target_encode,
+        "project_embeddings": q_project_embeddings,
     }
 
 
@@ -3296,7 +3339,35 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events GROUP BY 1
             ) WHERE rank <= 10
         """,
-# SFT pair mining: prefix sums decide the char-capped context
+        # out-of-fold target encoding: identical md5 hash folds, leave-
+        # one-fold-out stats and priors replayed relationally
+        "oof_target_encode": """
+            WITH r AS (
+              SELECT event_id, user_id, value,
+                     floor((('0x' || substr(md5('42:' || event_id::VARCHAR),
+                                            1, 15))::BIGINT
+                            / 1152921504606846976.0) * 5)::INT AS fold
+              FROM events
+            ),
+            kf AS (SELECT user_id, fold, sum(value) AS s, count(value) AS c
+                   FROM r GROUP BY 1, 2),
+            pk AS (SELECT user_id, sum(s) AS s_k, sum(c) AS c_k
+                   FROM kf GROUP BY 1),
+            gf AS (SELECT fold, sum(s) AS s_f, sum(c) AS c_f
+                   FROM kf GROUP BY 1),
+            tot AS (SELECT sum(s_f) AS s_all, sum(c_f) AS c_all FROM gf),
+            pr AS (SELECT fold, (s_all - s_f) / (c_all - c_f) AS prior
+                   FROM gf, tot)
+            SELECT r.event_id, r.user_id,
+                   round((pk.s_k - kf.s + 20.0 * pr.prior)
+                         / (pk.c_k - kf.c + 20.0), 4) AS te,
+                   (pk.c_k - kf.c)::BIGINT AS te_n
+            FROM r
+            JOIN kf USING (user_id, fold)
+            JOIN pk USING (user_id)
+            JOIN pr USING (fold)
+        """,
+        # SFT pair mining: prefix sums decide the char-capped context
         # suffix; dense turn_idx makes the ROWS window a turn_idx range
         "sft_pairs": f"""
             WITH t AS ({_TRANSCRIPTS_SQL}),
@@ -3330,6 +3401,27 @@ def _oracle_sql_base() -> dict[str, str]:
     }
 
 
+def _jl_oracle() -> str:
+    from featurescreening_jl_spark.operators.similarity import (
+        projection_matrix,
+    )
+
+    w = projection_matrix(64, 8, 17)
+    rows = ",\n              ".join(
+        "({}, [{}]::DOUBLE[])".format(
+            d, ",".join(repr(x) for x in w[d])
+        )
+        for d in range(8)
+    )
+    return f"""
+        WITH w(dim_idx, wv) AS (VALUES
+              {rows})
+        SELECT vec_id, dim_idx::INT AS dim_idx,
+               round(list_dot_product(embedding::DOUBLE[], wv), 4) AS val
+        FROM embeddings, w
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # the star-algorithm CC query computes the identical clustering —
@@ -3339,4 +3431,5 @@ def oracle_sql() -> dict[str, str]:
     # identical quantity as the closed-form window — same oracle; the two
     # independent implementations agreeing is itself part of the check
     d["decayed_features_arrow"] = d["decayed_features"]
+    d["project_embeddings"] = _jl_oracle()
     return d

@@ -105,6 +105,8 @@ HEADLINE = [
     "psi_drift",
     "heavy_hitters",
     "sft_pairs",
+    "oof_target_encode",
+    "project_embeddings",
 ]
 
 

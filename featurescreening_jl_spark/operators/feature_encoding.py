@@ -27,13 +27,17 @@ same-timestamp peers, never the row itself, never the future.
   documented bound; ``decayed_time_features_stable`` is the unbounded-
   span variant.
 - ``decayed_time_features_stable`` — the same semantics with segmented
-  renormalization (Arrow ``applyInPandas`` per entity, vectorized numpy,
-  no per-row Python loop): histories are cut into fixed 500-half-life
-  segments, the cumulative sum runs within each segment at bounded
-  exponent, and a per-segment carry folds earlier segments down by
-  ``2^(-500 * gap)``. Works for arbitrarily long spans (a years-long
-  conversation with a minutes-scale half-life), which is the 100 TB
-  regime where the closed form is unusable.
+  renormalization (Arrow ``mapInPandas`` over sorted partitions,
+  vectorized across many entities per batch, no per-row Python loop):
+  histories are cut into fixed 500-half-life segments, the cumulative
+  sum runs within each segment at bounded exponent, and a per-segment
+  carry folds earlier segments down by ``2^(-500 * gap)``. Works for
+  arbitrarily long spans (a years-long conversation with a minutes-scale
+  half-life), which is the 100 TB regime where the closed form is
+  unusable.
+- ``oof_target_encode``   — the non-temporal twin: out-of-fold target
+  encoding for datasets without an event-time axis (each row's encoding
+  excludes its own hash-fold's labels, prior included).
 - ``rolling_origin_folds`` — expanding-window (rolling-origin) cross-
   validation assignment: fold ``k`` trains on rows strictly before
   boundary ``k`` and tests on rows in ``[boundary_k, boundary_{k+1})``.
@@ -59,6 +63,7 @@ from featurescreening_jl_spark.functions.time import epoch_micros
 __all__ = [
     "pit_global_prior",
     "pit_target_encode",
+    "oof_target_encode",
     "decayed_time_features",
     "decayed_time_features_stable",
     "rolling_origin_folds",
@@ -132,6 +137,86 @@ def pit_target_encode(
         denom > 0.0, (s + m * F.lit(float(prior))) / denom
     ).otherwise(F.lit(float(prior)))
     return df.withColumn(out_col, te).withColumn(f"{out_col}_n", cnt)
+
+
+def oof_target_encode(
+    df: DataFrame,
+    key: str,
+    label: str | Column,
+    *,
+    fold: Column,
+    n_folds: int,
+    smoothing: float = 20.0,
+    out_col: str = "te",
+) -> DataFrame:
+    """Out-of-fold target encoding — the non-temporal twin of
+    ``pit_target_encode`` for datasets without an event-time axis.
+
+    Each row's encoding of ``key`` uses only labels from OTHER folds::
+
+        te = (sum_key - sum_key_fold + m * prior_fold)
+             / (cnt_key - cnt_key_fold + m)
+
+    where ``prior_fold`` is the global label mean computed over the
+    other folds too — no term anywhere includes the row's own fold, so
+    a model trained on fold k's encodings never sees fold k's labels
+    (the standard CV-consistent encoder; ``fold`` is typically a
+    deterministic hash fold — see ``sampling.hash_unit`` — so the
+    assignment is rerun- and partitioning-stable).
+
+    Plan: one hash aggregate keyed on (key, fold) → a per-key rollup of
+    those partials (both map-side combined, cardinality keys × folds)
+    → broadcast-join the encoding table back to rows. The row table
+    shuffles once on ``key``; at huge key cardinality swap the broadcast
+    for a shuffle join on (key, fold) — same plan, Spark picks it from
+    the table size.
+
+    Appends ``out_col`` and ``{out_col}_n`` (how many out-of-fold
+    labels informed the encoding).
+    """
+    lab = (F.col(label) if isinstance(label, str) else label).cast("double")
+    rows = df.withColumn("__fold", fold.cast("int"))
+    kf = rows.groupBy(key, "__fold").agg(
+        F.sum(lab).alias("__s"), F.count(lab).alias("__c")
+    )
+    per_key = kf.groupBy(key).agg(
+        F.sum("__s").alias("__s_k"), F.sum("__c").alias("__c_k")
+    )
+    enc = kf.join(per_key, key)
+    # global per-fold priors: tiny (n_folds rows), computed from the same
+    # partials — prior for fold f excludes fold f
+    gl = kf.groupBy("__fold").agg(
+        F.sum("__s").alias("__s_f"), F.sum("__c").alias("__c_f")
+    )
+    tot = gl.agg(
+        F.sum("__s_f").alias("__s_all"), F.sum("__c_f").alias("__c_all")
+    )
+    # try_divide: a fold holding ALL rows has no out-of-fold prior (NULL,
+    # degenerate single-fold input) — never an ANSI divide-by-zero crash
+    prior = gl.crossJoin(F.broadcast(tot)).select(
+        "__fold",
+        F.coalesce(
+            F.try_divide(
+                F.col("__s_all") - F.col("__s_f"),
+                F.col("__c_all") - F.col("__c_f"),
+            ),
+            F.lit(0.0),
+        ).alias("__prior"),
+    )
+    m = F.lit(float(smoothing))
+    denom = F.col("__c_k") - F.col("__c") + m
+    enc = enc.join(F.broadcast(prior), "__fold").select(
+        key,
+        "__fold",
+        F.when(
+            denom > 0,
+            (F.col("__s_k") - F.col("__s") + m * F.col("__prior")) / denom,
+        )
+        .otherwise(F.col("__prior"))
+        .alias(out_col),
+        (F.col("__c_k") - F.col("__c")).alias(f"{out_col}_n"),
+    )
+    return rows.join(enc, [key, "__fold"]).drop("__fold")
 
 
 def _halflife_x(ts_col: str, part_cols: Sequence[str], half_life_s: float):

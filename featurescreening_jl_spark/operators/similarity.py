@@ -23,7 +23,53 @@ from featurescreening_jl_spark.functions.vector import (
     norm,
 )
 
-__all__ = ["brute_force_topk", "lsh_topk", "cosine_neardup_pairs"]
+__all__ = [
+    "brute_force_topk",
+    "lsh_topk",
+    "cosine_neardup_pairs",
+    "project_embeddings",
+    "projection_matrix",
+]
+
+
+def projection_matrix(
+    in_dim: int, out_dim: int, seed: int = 17
+) -> list[list[float]]:
+    """Seeded Gaussian Johnson–Lindenstrauss projection matrix
+    (out_dim × in_dim, entries N(0, 1/out_dim)) — deterministic, so the
+    identical matrix is reconstructable anywhere (tests, oracles, a
+    different engine) from (in_dim, out_dim, seed)."""
+    rng = np.random.default_rng(seed)
+    return (
+        rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+    ).tolist()
+
+
+def project_embeddings(
+    df: DataFrame,
+    *,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 17,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection of an embedding column to
+    ``out_dim`` dimensions — the standard pre-step that makes downstream
+    ANN/LSH/clustering cheaper while approximately preserving pairwise
+    distances (within 1±ε for out_dim = O(log n / ε²)).
+
+    Map-only, zero shuffle, zero Python at run time: the projection
+    matrix is ONE nested literal (built with ``double_array_literal`` —
+    one py4j call) and each output coordinate is a codegen'd dot
+    product. Composes with ``lsh_topk`` / ``ivf`` / ``kmeans`` as a
+    drop-in narrower ``vec_col``.
+    """
+    planes = double_array_literal(projection_matrix(in_dim, out_dim, seed))
+    vec = F.col(vec_col)
+    return df.withColumn(
+        out_col, F.transform(planes, lambda row: dot(vec, row))
+    )
 
 
 def brute_force_topk(

@@ -380,3 +380,106 @@ def test_psi_detects_shift(spark):
         ).collect()
     )
     assert total > 0.25  # "broken" threshold for a 60% quantile shift
+
+
+def test_oof_target_encode_own_fold_invisible(spark):
+    # perturbing every label in fold f must leave fold-f rows' encodings
+    # unchanged — the definition of out-of-fold
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        oof_target_encode,
+    )
+    from featurescreening_jl_spark.operators.sampling import hash_unit
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    fold = F.floor(hash_unit(F.col("event_id"), seed=42) * 3).cast("int")
+    base = ev.withColumn("__f", fold)
+    perturbed = base.withColumn(
+        "value",
+        F.when(F.col("__f") == 1, F.col("value") + 10000.0).otherwise(
+            F.col("value")
+        ),
+    )
+    a = (
+        oof_target_encode(
+            base, "user_id", "value", fold=F.col("__f"), n_folds=3
+        )
+        .where(F.col("__f") == 1)
+        .select("event_id", "te")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    b = (
+        oof_target_encode(
+            perturbed, "user_id", "value", fold=F.col("__f"), n_folds=3
+        )
+        .where(F.col("__f") == 1)
+        .select("event_id", "te")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(a) > 100
+    assert np.allclose(a["te"].to_numpy(), b["te"].to_numpy(), atol=1e-9)
+
+
+def test_oof_target_encode_matches_bruteforce(spark):
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        oof_target_encode,
+    )
+
+    rows = [
+        ("k", 0, 1.0), ("k", 0, 3.0), ("k", 1, 10.0),
+        ("j", 0, 5.0), ("j", 1, 7.0), ("j", 1, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "key string, f int, y double")
+    out = oof_target_encode(
+        df, "key", "y", fold=F.col("f"), n_folds=2, smoothing=2.0
+    ).collect()
+    # fold-0 prior = mean of fold-1 labels = (10+7+9)/3; fold-1 prior =
+    # (1+3+5)/3
+    p0, p1 = 26.0 / 3, 3.0
+    for r in out:
+        if r["key"] == "k" and r["f"] == 0:
+            want = (10.0 + 2.0 * p0) / (1 + 2.0)  # k's fold-1: one label
+        elif r["key"] == "k" and r["f"] == 1:
+            want = (4.0 + 2.0 * p1) / (2 + 2.0)
+        elif r["key"] == "j" and r["f"] == 0:
+            want = (16.0 + 2.0 * p0) / (2 + 2.0)
+        else:
+            want = (5.0 + 2.0 * p1) / (1 + 2.0)
+        assert abs(r["te"] - want) < 1e-9, (r, want)
+
+
+def test_project_embeddings_preserves_distances(spark):
+    # JL sanity: pairwise cosine/distance structure approximately
+    # preserved 64 -> 16 dims, and the operator matches numpy exactly
+    from featurescreening_jl_spark.operators.similarity import (
+        project_embeddings,
+        projection_matrix,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+    )
+    out = (
+        project_embeddings(emb, in_dim=64, out_dim=16, seed=17)
+        .select("vec_id", "projected", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    X = np.stack(out["embedding"].to_numpy())
+    P = np.stack(out["projected"].to_numpy())
+    W = np.array(projection_matrix(64, 16, 17))
+    assert np.allclose(P, X @ W.T, atol=1e-9)  # exact vs numpy
+    # distance preservation in expectation: median ratio near 1
+    d_hi = np.linalg.norm(X[:20, None] - X[None, :20], axis=-1)
+    d_lo = np.linalg.norm(P[:20, None] - P[None, :20], axis=-1)
+    iu = np.triu_indices(20, 1)
+    ratio = d_lo[iu] / d_hi[iu]
+    assert 0.7 < np.median(ratio) < 1.3
