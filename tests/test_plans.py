@@ -213,3 +213,80 @@ class TestHofBindingPlanShape:
         # the zip_with/aggregate expression tree
         assert txt.count("zip_with") == 1, txt
         assert txt.count("aggregate(") == 1, txt
+
+
+class TestRound4PlanShapes:
+    def test_target_encode_single_shuffle(self, spark):
+        # one exchange (the per-key window partition), nothing else
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            pit_target_encode,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = pit_target_encode(
+            ev, "user_id", "value", ts_col="ts", prior=1.0, smoothing=20.0
+        )
+        assert plan(out).count("Exchange hashpartitioning") == 1, plan(out)
+
+    def test_decayed_closed_form_single_shuffle(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            decayed_time_features,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        out = decayed_time_features(
+            ev, ["user_id"], {"d": F.lit(1.0)}, ts_col="ts",
+            order_cols=["event_id"],
+        )
+        assert plan(out).count("Exchange hashpartitioning") == 1, plan(out)
+
+    def test_rolling_folds_and_projection_are_map_only(self, spark):
+        # no shuffle anywhere: fold explode and the JL projection are
+        # pure per-row expressions against broadcast literals
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            rolling_origin_folds,
+        )
+        from featurescreening_jl_spark.operators.similarity import (
+            project_embeddings,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        folds = rolling_origin_folds(
+            ev, ["2024-01-08", "2024-01-15"], ts_col="ts"
+        )
+        assert "Exchange" not in plan(folds), plan(folds)
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        proj = project_embeddings(emb, in_dim=64, out_dim=8)
+        assert "Exchange" not in plan(proj), plan(proj)
+
+    def test_mask_boilerplate_broadcasts_boiler_set(self, spark):
+        # the positions⋈boilerplate join must be a broadcast hash join in
+        # the STATIC plan (not an AQE discovery), so the grams table's
+        # only exchange is the df-aggregate
+        from featurescreening_jl_spark.operators.text_analysis import (
+            mask_repeated_ngrams,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = mask_repeated_ngrams(docs, n=4, min_df=5)
+        txt = plan(out)
+        assert "BroadcastHashJoin" in txt, txt
+
+    def test_sft_pairs_single_shuffle(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            sft_pairs,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            F.col("event_id").alias("turn_idx"),
+            F.when(F.col("event_id") % 2 == 0, "user")
+            .otherwise("assistant")
+            .alias("role"),
+            F.col("event_type").alias("text"),
+        )
+        out = sft_pairs(ev)
+        assert plan(out).count("Exchange hashpartitioning") == 1, plan(out)
