@@ -114,6 +114,32 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _calibration_work(_):
+    s = 0
+    for i in range(4_000_000):
+        s += i * i
+    return s
+
+
+def parallel_interference() -> float:
+    """Host-condition calibration: wall time of a fixed CPU-bound kernel
+    run on CPUS processes at once, divided by its single-process time.
+    1.0 = a quiet box (32 cores genuinely available); ratios well above
+    ~1.1 mean co-tenant CPU steal is inflating every per-query number in
+    this run (measured swings up to 2x on this host). Recorded so a
+    bench JSON carries its own weather report."""
+    import multiprocessing as mp
+
+    t0 = time.perf_counter()
+    _calibration_work(0)
+    single = time.perf_counter() - t0
+    with mp.Pool(CPUS) as pool:
+        t0 = time.perf_counter()
+        pool.map(_calibration_work, range(CPUS))
+        batch = time.perf_counter() - t0
+    return round(batch / single, 3)
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from featurescreening_jl_spark.plans.session import get_spark
@@ -161,6 +187,8 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cpus": CPUS,
+        # 1.0 = quiet box; >1.1 = co-tenant steal inflated this run
+        "parallel_interference": parallel_interference(),
     }
     if "screen_pipeline" in timings:
         # screening-round throughput: events processed per second through
