@@ -180,6 +180,107 @@ def streaming_turn_state_features(
     )
 
 
+def streaming_decayed_features(
+    stream: DataFrame,
+    half_life_s: float = 86400.0,
+    state_ttl_seconds: int = 7200,
+) -> DataFrame:
+    """Streaming twin of ``feature_encoding.decayed_time_features``: the
+    strictly-prior exponential time-decayed turn count and char sum, one
+    output row per arriving turn, with O(1) state per conversation.
+
+    The decayed sum admits a constant-state recurrence that is also
+    numerically exact for unbounded stream lifetimes — state holds only
+    ``(last_ts, acc)`` where ``acc`` is the decayed sum INCLUDING the
+    last processed turn, valued at ``last_ts``; each new turn emits
+    ``acc * 2^(-(t - last_ts)/hl)`` and folds itself in. All decays are
+    relative (never an absolute-epoch exponent), so a conversation can
+    live for years of event time without overflow — the streaming
+    equivalent of the batch operator's segmented renormalization.
+
+    Within a micro-batch, turns are processed in ``(ts, turn_idx)``
+    order (the batch layer's total order); across micro-batches the
+    recurrence follows processing order, the same late-data contract as
+    ``streaming_turn_state_features``. Batch spans are assumed ≪ 1000
+    half-lives (a micro-batch covers minutes; the half-life is a day).
+
+    Output per turn: ``(conv_id, turn_idx, dec_turns, dec_chars)`` —
+    agreeing exactly with the batch operator when arrival order matches
+    event-time order (pinned in tests/test_streaming.py).
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = (
+        "conv_id string, turn_idx int, dec_turns double, dec_chars double"
+    )
+    state_schema = "last_ts double, acc_cnt double, acc_chars double"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, acc_cnt, acc_chars = (
+            state.get if state.exists else (None, 0.0, 0.0)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            t = (pdf["ts"].astype("int64") / 1e9).to_numpy()
+            x = (t - t[0]) / half_life_s  # batch-relative half-lives
+            grow = np.exp2(x)
+            shrink = np.exp2(-x)
+            chars = (
+                pdf["text"].fillna("").str.len().to_numpy(dtype="float64")
+            )
+            outs = {}
+            for name, v, acc in (
+                ("dec_turns", np.ones(len(pdf)), acc_cnt),
+                ("dec_chars", chars, acc_chars),
+            ):
+                prefix = np.cumsum(v * grow) - v * grow
+                carry = (
+                    0.0
+                    if last_ts is None
+                    else acc * np.exp2(-(t[0] - last_ts) / half_life_s)
+                )
+                outs[name] = shrink * (prefix + carry)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "dec_turns": outs["dec_turns"],
+                    "dec_chars": outs["dec_chars"],
+                }
+            )
+            # fold the batch into O(1) state, valued at the last turn
+            acc_cnt = float(outs["dec_turns"][-1] + 1.0)
+            acc_chars = float(outs["dec_chars"][-1] + chars[-1])
+            last_ts = float(t[-1])
+        state.update((last_ts, acc_cnt, acc_chars))
+        if last_ts is not None:
+            state.setTimeoutTimestamp(
+                max(
+                    int((last_ts + state_ttl_seconds) * 1000),
+                    state.getCurrentWatermarkMs() + 1000,
+                )
+            )
+
+    return (
+        stream.select("conv_id", "turn_idx", "ts", "text")
+        .withWatermark("ts", f"{state_ttl_seconds} seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
+        )
+    )
+
+
 def streaming_dedup_turns(
     stream: DataFrame,
     *,

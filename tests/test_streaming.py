@@ -253,3 +253,141 @@ class TestStreamingDedup:
         assert len(out) == n_texts
         # the internal fingerprint column must not leak into the output
         assert "__fp" not in out.columns
+
+
+class TestStreamingDecayedFeatures:
+    def test_matches_batch_decay(self, spark, transcript_dir):
+        # all data in one availableNow pass, arrival order = event-time
+        # order ⇒ the O(1)-state streaming recurrence must agree with the
+        # batch closed-form operator per (conv, turn)
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            decayed_time_features,
+        )
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_decayed_features,
+        )
+
+        batch_df = spark.read.parquet(transcript_dir)
+        stream = read_transcript_stream(spark, transcript_dir)
+        got = _run_stream(
+            spark,
+            streaming_decayed_features(
+                stream, half_life_s=86400.0, state_ttl_seconds=10**7
+            ),
+            "append",
+            "decay_stream",
+        ).toPandas().set_index(["conv_id", "turn_idx"]).sort_index()
+
+        want = (
+            decayed_time_features(
+                batch_df,
+                ["conv_id"],
+                {
+                    "dec_turns": F.lit(1.0),
+                    "dec_chars": F.length(
+                        F.coalesce(F.col("text"), F.lit(""))
+                    ),
+                },
+                ts_col="ts",
+                order_cols=["turn_idx"],
+                half_life_s=86400.0,
+            )
+            .select("conv_id", "turn_idx", "dec_turns", "dec_chars")
+            .toPandas()
+            .set_index(["conv_id", "turn_idx"])
+            .sort_index()
+        )
+        assert len(got) == len(want) and len(got) > 0
+        import numpy as np
+
+        assert np.allclose(
+            got[["dec_turns", "dec_chars"]].to_numpy(),
+            want[["dec_turns", "dec_chars"]].to_numpy(),
+            atol=1e-6,
+        )
+
+    def test_state_carries_across_micro_batches_decay(self, spark, tmp_path):
+        """Two availableNow runs over a shared checkpoint: the second
+        run's outputs must continue the first run's O(1) decayed
+        accumulator, agreeing with the batch operator over the union."""
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            decayed_time_features,
+        )
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_decayed_features,
+        )
+
+        full = synthetic_transcripts(spark, 12, seed=23, heavy_every=0)
+        full.cache()
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            split = 4
+            data_dir = str(tmp_path / "turns")
+            ckpt = str(tmp_path / "ckpt")
+            out_dir = str(tmp_path / "out")
+            full.where(F.col("turn_idx") < split).coalesce(1).write.mode(
+                "append"
+            ).parquet(data_dir)
+
+            def run_phase():
+                stream = read_transcript_stream(spark, data_dir)
+                q = (
+                    streaming_decayed_features(
+                        stream, half_life_s=86400.0,
+                        state_ttl_seconds=10**7,
+                    )
+                    .writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                q.awaitTermination(60)
+
+            run_phase()
+            full.where(F.col("turn_idx") >= split).coalesce(1).write.mode(
+                "append"
+            ).parquet(data_dir)
+            run_phase()
+            got = (
+                spark.read.parquet(out_dir)
+                .toPandas()
+                .set_index(["conv_id", "turn_idx"])
+                .sort_index()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        want = (
+            decayed_time_features(
+                full,
+                ["conv_id"],
+                {
+                    "dec_turns": F.lit(1.0),
+                    "dec_chars": F.length(
+                        F.coalesce(F.col("text"), F.lit(""))
+                    ),
+                },
+                ts_col="ts",
+                order_cols=["turn_idx"],
+                half_life_s=86400.0,
+            )
+            .select("conv_id", "turn_idx", "dec_turns", "dec_chars")
+            .toPandas()
+            .set_index(["conv_id", "turn_idx"])
+            .sort_index()
+        )
+        assert len(got) == len(want) and len(got) > 20
+        assert np.allclose(
+            got[["dec_turns", "dec_chars"]].to_numpy(),
+            want[["dec_turns", "dec_chars"]].to_numpy(),
+            atol=1e-6,
+        )
