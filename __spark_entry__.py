@@ -1650,6 +1650,31 @@ def q_project_embeddings(spark, sf):
     ).select("vec_id", "dim_idx", F.round("val", 4).alias("val"))
 
 
+_BM25_QUERIES = [
+    (1, "data processing systems"),
+    (2, "machine learning model training"),
+    (3, "the quick brown fox"),
+]
+
+
+def q_bm25(spark, sf):
+    # Okapi BM25 lexical retrieval: top-5 documents per query. The corpus
+    # is tokenized once into the (doc, term) tf table; df is a window on
+    # it; the tiny query side broadcasts in, so the corpus never shuffles
+    # for the join. Oracle replays the identical RSJ-idf scoring.
+    from featurescreening_jl_spark.operators.text_analysis import bm25_topk
+
+    docs = _t(spark, sf, "documents")
+    qdf = spark.createDataFrame(_BM25_QUERIES, "query_id int, query string")
+    out = bm25_topk(docs, qdf, k=5)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 4).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_heavy_hitters(spark, sf):
     # Two-phase exact-count heavy hitters: per-partition Misra-Gries
     # candidates (Arrow-batched, never a per-row Python crossing) ->
@@ -1744,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sft_pairs": q_sft_pairs,
         "oof_target_encode": q_oof_target_encode,
         "project_embeddings": q_project_embeddings,
+        "bm25": q_bm25,
     }
 
 
@@ -3338,6 +3364,61 @@ def _oracle_sql_base() -> dict[str, str]:
                          AS rank
               FROM events GROUP BY 1
             ) WHERE rank <= 10
+        """,
+        # Okapi BM25: same tokenization, window df, RSJ idf, and
+        # length-normalized tf saturation; ties (score desc, doc_id asc)
+        "bm25": """
+            WITH q(query_id, query) AS (VALUES
+              (1, 'data processing systems'),
+              (2, 'machine learning model training'),
+              (3, 'the quick brown fox')),
+            toks AS (
+              SELECT doc_id, t.term
+              FROM documents,
+                   unnest(string_split_regex(lower(text), '[^a-z0-9]+'))
+                     AS t(term)
+              WHERE length(t.term) >= 1
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks GROUP BY 1, 2
+            ),
+            dlen AS (SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1),
+            stats AS (SELECT count(*) AS n, avg(dlen::DOUBLE) AS avgl
+                      FROM dlen),
+            tfd AS (
+              SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf
+            ),
+            qt AS (
+              SELECT query_id, t.term, count(*) AS qtf
+              FROM q,
+                   unnest(string_split_regex(lower(query), '[^a-z0-9]+'))
+                     AS t(term)
+              WHERE length(t.term) >= 1
+              GROUP BY 1, 2
+            ),
+            scored AS (
+              SELECT qt.query_id, tfd.doc_id,
+                     sum(qt.qtf
+                         * ln(1.0 + (stats.n - tfd.df + 0.5)
+                                    / (tfd.df + 0.5))
+                         * (tfd.tf * 2.2)
+                         / (tfd.tf + 1.2 * (0.25 + 0.75
+                              * (dlen.dlen / stats.avgl)))) AS score
+              FROM tfd
+              JOIN qt USING (term)
+              JOIN dlen USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, round(score, 4) AS score,
+                   rank::BIGINT AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id)
+                            AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         # out-of-fold target encoding: identical md5 hash folds, leave-
         # one-fold-out stats and priors replayed relationally

@@ -107,6 +107,7 @@ HEADLINE = [
     "sft_pairs",
     "oof_target_encode",
     "project_embeddings",
+    "bm25",
 ]
 
 

@@ -18,6 +18,7 @@ __all__ = [
     "fingerprint",
     "document_features",
     "tfidf_top_terms",
+    "bm25_topk",
     "winnow_fingerprints",
     "winnow_candidate_pairs",
     "repetition_stats",
@@ -665,6 +666,94 @@ def length_quantiles(
         df.select(F.col(by), t.alias("__t"))
         .groupBy(by)
         .agg(*aggs, F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-``k`` documents per query — the lexical-retrieval
+    operator a training-data pipeline uses for eval-set decontamination
+    sweeps, dedup candidate generation, and corpus search (the ranked
+    counterpart of the set-overlap `decontam` operator).
+
+    score(q, d) = Σ_t qtf·idf(t)·tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))
+    with idf = ln(1 + (N − df + ½)/(df + ½)) — the standard
+    Robertson–Sparck Jones form, always positive.
+
+    Dataflow at corpus scale: documents are tokenized EXACTLY ONCE into
+    the per-(doc, term) tf table (map-side combine before the shuffle,
+    same shape as ``tfidf_top_terms``); per-term df is a window on the tf
+    table; doc length and corpus stats (N, avglen) ride in as broadcast
+    1-row aggregates. The QUERY side is small by nature and broadcasts
+    into the tf table, so the corpus never shuffles for the join; scores
+    aggregate per (query, doc) and the final top-k is a WindowGroupLimit
+    window. Ties break (score desc, doc id asc) — deterministic.
+    """
+    term = F.explode(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+    ).alias("term")
+    terms = docs.select(F.col(id_col), term).where(F.length("term") >= 1)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # doc length and corpus stats both DERIVE FROM the tf table — the
+    # text is tokenized exactly once, and the per-doc rollup is a
+    # map-side-combined aggregate over (doc, term) partials
+    dlen = tf.groupBy(id_col).agg(F.sum("tf").alias("dlen"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg(F.col("dlen").cast("double")).alias("__avg"),
+    )
+
+    qterm = F.explode(
+        F.split(F.lower(F.col(query_text_col)), r"[^a-z0-9]+")
+    ).alias("term")
+    qterms = (
+        queries.select(F.col(query_id_col), qterm)
+        .where(F.length("term") >= 1)
+        .groupBy(query_id_col, "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+    tfd = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    joined = (
+        tfd.join(F.broadcast(qterms), "term")
+        .join(dlen, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * (F.col("dlen") / F.col("__avg"))
+        )
+    )
+    scored = joined.groupBy(query_id_col, id_col).agg(
+        F.sum(F.col("qtf") * idf * tf_part).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
     )
 
 

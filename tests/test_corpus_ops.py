@@ -279,3 +279,85 @@ class TestMaskRepeatedNgrams:
         }
         assert out[0]["text_clean"] == "x y"
         assert out[0]["n_words_removed"] == 6
+
+
+class TestBM25:
+    def test_matches_pure_python_replica(self, spark):
+        import math
+        import re
+        from collections import Counter
+
+        from featurescreening_jl_spark.operators.text_analysis import (
+            bm25_topk,
+        )
+
+        docs = [
+            (1, "the cat sat on the mat"),
+            (2, "the dog chased the cat"),
+            (3, "dogs and cats living together"),
+            (4, "a completely unrelated document about spark"),
+            (5, "cat cat cat cat"),
+        ]
+        queries = [(1, "cat"), (2, "the dog"), (3, "zebra")]
+        k1, b = 1.2, 0.75
+
+        def toks(t):
+            return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+        tf = {d: Counter(toks(t)) for d, t in docs}
+        dlen = {d: sum(c.values()) for d, c in tf.items()}
+        n = len(docs)
+        avgl = sum(dlen.values()) / n
+        df = Counter(t for c in tf.values() for t in set(c))
+
+        def score(q, d):
+            s = 0.0
+            for t, qtf in Counter(toks(q)).items():
+                if tf[d].get(t, 0) == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                tfv = tf[d][t]
+                s += qtf * idf * tfv * (k1 + 1) / (
+                    tfv + k1 * (1 - b + b * dlen[d] / avgl)
+                )
+            return s
+
+        want = {}
+        for qid, q in queries:
+            ranked = sorted(
+                ((score(q, d), d) for d, _ in docs if score(q, d) > 0),
+                key=lambda x: (-x[0], x[1]),
+            )[:3]
+            for r, (sc, d) in enumerate(ranked, 1):
+                want[(qid, d)] = (round(sc, 6), r)
+
+        sdocs = spark.createDataFrame(docs, "doc_id int, text string")
+        sq = spark.createDataFrame(queries, "query_id int, query string")
+        got = {
+            (r["query_id"], r["doc_id"]): (round(r["score"], 6), r["rank"])
+            for r in bm25_topk(sdocs, sq, k=3).collect()
+        }
+        assert got == want
+        assert not any(qid == 3 for qid, _ in got)  # no zero-score rows
+
+    def test_corpus_never_shuffles_for_query_join(self, spark):
+        # the query side must broadcast into the tf table — a shuffled
+        # join on `term` would move the whole corpus tf table per query
+        # set
+        from featurescreening_jl_spark.operators.text_analysis import (
+            bm25_topk,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        q = spark.createDataFrame(
+            [(1, "data systems")], "query_id int, query string"
+        )
+        plan = (
+            bm25_topk(docs, q, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
