@@ -1675,6 +1675,39 @@ def q_bm25(spark, sf):
     )
 
 
+def q_bpe_vocab(spark, sf):
+    # Distributed BPE vocabulary learning over the distinct-word table
+    # (20 merges). Inherently iterative (each merge conditions the next),
+    # so this is the documented non-SQL-expressible class: the driver
+    # records a rows-only check; merge-for-merge agreement with a pure-
+    # Python reference (same tie-breaks) is pinned in tests/test_bpe.py.
+    from featurescreening_jl_spark.operators.bpe import learn_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe(docs, 20)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_idx int, left string, right string",
+    )
+
+
+def q_bpe_encode(spark, sf):
+    # Arrow BPE encoding with the vocabulary learned from the same
+    # corpus (distinct-word memo per batch). Deterministic end to end;
+    # rows-only driver check (see q_bpe_vocab), semantics pinned against
+    # the pure-Python encoder in tests/test_bpe.py.
+    from featurescreening_jl_spark.operators.bpe import bpe_encode, learn_bpe
+
+    docs = _t(spark, sf, "documents")
+    merges = learn_bpe(docs, 20)
+    out = bpe_encode(docs, merges)
+    return out.select(
+        "doc_id",
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.concat_ws(" ", F.slice("bpe_tokens", 1, 8)).alias("head_tokens"),
+    )
+
+
 def q_heavy_hitters(spark, sf):
     # Two-phase exact-count heavy hitters: per-partition Misra-Gries
     # candidates (Arrow-batched, never a per-row Python crossing) ->
@@ -1770,6 +1803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oof_target_encode": q_oof_target_encode,
         "project_embeddings": q_project_embeddings,
         "bm25": q_bm25,
+        "bpe_vocab": q_bpe_vocab,
+        "bpe_encode": q_bpe_encode,
     }
 
 

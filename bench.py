@@ -108,6 +108,8 @@ HEADLINE = [
     "oof_target_encode",
     "project_embeddings",
     "bm25",
+    "bpe_vocab",
+    "bpe_encode",
 ]
 
 
