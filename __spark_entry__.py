@@ -1722,6 +1722,34 @@ def q_heavy_hitters(spark, sf):
     return heavy_hitters(ev, "user_id", k=10, m=4096)
 
 
+def q_role_transitions(spark, sf):
+    # corpus-wide role-bigram (Markov) transition counts + conditional
+    # probabilities over the transcripts relation — the conversation-shape
+    # QA profile. One window pass on the shared (conv_id, ts, turn_idx)
+    # order feeding a |roles|^2-row aggregate.
+    from featurescreening_jl_spark.operators.conversations import (
+        role_transition_stats,
+    )
+
+    return role_transition_stats(_transcripts(spark, sf))
+
+
+def q_temperature_mix(spark, sf):
+    # temperature-scaled mixture weights (XLM-R/mT5-style rebalancing):
+    # per-language corpus share^tau renormalized, plus the target
+    # char-budget allocation and over/undersample factor. The corpus
+    # collapses to |languages| rows in one aggregate; the normalizing
+    # windows run over that tiny frame.
+    from featurescreening_jl_spark.operators.sampling import (
+        temperature_weights,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return temperature_weights(
+        docs, group_col="lang", size_col="n_chars", tau=0.5, budget=1_000_000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1805,6 +1833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "bpe_vocab": q_bpe_vocab,
         "bpe_encode": q_bpe_encode,
+        "role_transitions": q_role_transitions,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -3513,6 +3543,46 @@ def _oracle_sql_base() -> dict[str, str]:
                    any_value(target) AS target,
                    count(*)::BIGINT AS n_context_turns
             FROM prs GROUP BY conv_id, turn_idx
+        """,
+        # role-bigram transition counts + P(role_to | role_from) over the
+        # shared conversation order
+        "role_transitions": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            p AS (
+              SELECT role AS role_from,
+                     lead(role) OVER (PARTITION BY conv_id
+                                      ORDER BY ts, turn_idx) AS role_to
+              FROM t
+            )
+            SELECT role_from, role_to,
+                   count(*)::BIGINT AS n_transitions,
+                   round(count(*)::DOUBLE /
+                         sum(count(*)) OVER (PARTITION BY role_from), 6)
+                       AS p_transition
+            FROM p WHERE role_to IS NOT NULL
+            GROUP BY role_from, role_to
+        """,
+        # temperature-scaled mixture weights: share^tau renormalized,
+        # char-budget allocation, oversample factor (tau=0.5, B=1e6)
+        "temperature_mix": """
+            WITH s AS (
+              SELECT lang, sum(n_chars)::DOUBLE AS group_size
+              FROM documents GROUP BY lang
+            ),
+            sc AS (
+              SELECT lang, group_size,
+                     group_size / sum(group_size) OVER () AS share,
+                     pow(group_size / sum(group_size) OVER (), 0.5) AS p
+              FROM s
+            )
+            SELECT lang,
+                   round(group_size, 6) AS group_size,
+                   round(share, 6) AS share,
+                   round(p / sum(p) OVER (), 6) AS weight,
+                   round(p / sum(p) OVER () * 1000000, 6) AS target_size,
+                   round(p / sum(p) OVER () * 1000000 / group_size, 6)
+                       AS sample_factor
+            FROM sc
         """,
     }
 

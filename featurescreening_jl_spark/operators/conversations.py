@@ -35,6 +35,7 @@ __all__ = [
     "conversation_validity",
     "render_chat",
     "sft_pairs",
+    "role_transition_stats",
 ]
 
 
@@ -261,4 +262,53 @@ def render_chat(
         rendered.alias("rendered"),
         F.size("__turns").alias("n_turns"),
         token_count(rendered).alias("n_tokens"),
+    )
+
+
+def role_transition_stats(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    order_cols: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+) -> DataFrame:
+    """Corpus-wide role-transition (Markov bigram) statistics over a
+    transcript table: for every ordered pair of consecutive turns within
+    a conversation, count ``role_from -> role_to`` and its conditional
+    probability ``P(role_to | role_from)``. This is the shape signal
+    conversation-corpus QA leans on — a healthy chat corpus transitions
+    user->assistant nearly always, while assistant->assistant spikes mark
+    stitched or malformed conversations (the validity gate
+    :func:`conversation_validity` rejects per-conversation; this operator
+    profiles the corpus as a whole).
+
+    Plan shape: ONE window pass over the shared conversation order
+    ``(conv_col, *order_cols)`` — the same partitioning every operator in
+    this module shuffles on, so at scale the sort is reused/elided for
+    ts-sorted inputs — feeding one hash aggregate whose output is bounded
+    by ``|roles|^2`` rows (single-digit), over which the normalizing
+    window is free. Final turns of each conversation (lead = NULL) are
+    excluded: they have no transition.
+
+    Output: ``role_from``, ``role_to``, ``n_transitions``,
+    ``p_transition`` (rounded to 6 dp).
+    """
+    w = Window.partitionBy(conv_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = df.select(
+        F.col(role_col).alias("role_from"),
+        F.lead(role_col).over(w).alias("role_to"),
+    ).where(F.col("role_to").isNotNull())
+    counts = pairs.groupBy("role_from", "role_to").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("role_from")
+    return counts.select(
+        "role_from",
+        "role_to",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(norm).cast("double"),
+            6,
+        ).alias("p_transition"),
     )

@@ -51,6 +51,7 @@ __all__ = [
     "weighted_mix",
     "weighted_reservoir",
     "token_budget_mix",
+    "temperature_weights",
 ]
 
 # 2^60 — hash60_portable's range; division lands in [0, 1).
@@ -279,4 +280,68 @@ def weighted_mix(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def temperature_weights(
+    df: DataFrame,
+    *,
+    group_col: str = "source",
+    size_col: str,
+    tau: float = 0.7,
+    budget: float | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights — the multilingual-corpus
+    rebalancing rule (XLM-R / mT5 style): sampling weight
+    ``w_i ∝ share_i^tau`` with ``share_i`` a group's fraction of the
+    corpus by ``size_col`` (tokens, chars, rows). ``tau = 1`` keeps the
+    natural distribution; ``tau -> 0`` flattens toward uniform, lifting
+    low-resource groups. With ``budget`` given, each group also gets its
+    target allocation ``w_i * budget`` and the implied ``sample_factor``
+    (target / observed size; > 1 means the group must be oversampled /
+    repeated).
+
+    Plan shape: ONE hash aggregate collapses the corpus to |groups| rows
+    (map-side partials); the two normalizing sums then run as windows
+    over that already-tiny aggregate — at any corpus scale the window
+    input is the number of sources/languages, so the single-partition
+    window is free by construction, and the corpus itself is scanned
+    exactly once.
+
+    Output: ``group_col``, ``group_size``, ``share``, ``weight``,
+    and with ``budget``: ``target_size``, ``sample_factor`` (all rounded
+    to 6 dp).
+    """
+    if tau < 0:
+        raise ValueError(f"tau must be >= 0, got {tau}")
+    sizes = df.groupBy(group_col).agg(
+        F.sum(F.col(size_col).cast("double")).alias("group_size")
+    )
+    everything = Window.partitionBy()
+    share = F.col("group_size") / F.sum("group_size").over(everything)
+    scaled = sizes.select(
+        group_col,
+        "group_size",
+        share.alias("__share"),
+        F.pow(share, F.lit(float(tau))).alias("__pow"),
+    )
+    weight = F.col("__pow") / F.sum("__pow").over(everything)
+    out = scaled.select(
+        group_col,
+        F.round("group_size", 6).alias("group_size"),
+        F.round("__share", 6).alias("share"),
+        F.round(weight, 6).alias("weight"),
+        *(
+            [
+                F.round(weight * F.lit(float(budget)), 6).alias(
+                    "target_size"
+                ),
+                F.round(
+                    weight * F.lit(float(budget)) / F.col("group_size"), 6
+                ).alias("sample_factor"),
+            ]
+            if budget is not None
+            else []
+        ),
+    )
     return out

@@ -217,3 +217,49 @@ def test_sft_pairs_drops_contextless_anchor(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
     got = sft_pairs(df).collect()
     assert got == []  # the only assistant turn has no prior context
+
+
+def test_role_transition_counts_and_probs(spark):
+    from featurescreening_jl_spark.operators.conversations import (
+        role_transition_stats,
+    )
+
+    rows = [
+        # conv A: user -> assistant -> user -> assistant
+        ("A", 0, "user"), ("A", 1, "assistant"),
+        ("A", 2, "user"), ("A", 3, "assistant"),
+        # conv B: user -> assistant -> tool
+        ("B", 0, "user"), ("B", 1, "assistant"), ("B", 2, "tool"),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, r, float(i)) for c, i, r in rows],
+        "conv_id string, turn_idx int, role string, ts double",
+    )
+    out = {
+        (r["role_from"], r["role_to"]): (
+            r["n_transitions"], r["p_transition"]
+        )
+        for r in role_transition_stats(
+            df, order_cols=("ts", "turn_idx")
+        ).collect()
+    }
+    assert out[("user", "assistant")] == (3, 1.0)
+    assert out[("assistant", "user")] == (1, 0.5)
+    assert out[("assistant", "tool")] == (1, 0.5)
+    # final turns have no transition; no cross-conversation bigrams
+    assert len(out) == 3
+
+
+def test_role_transition_single_window_shuffle(spark):
+    from featurescreening_jl_spark.operators.conversations import (
+        role_transition_stats,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 0, "user", 0.0), ("A", 1, "assistant", 1.0)],
+        "conv_id string, turn_idx int, role string, ts double",
+    )
+    plan = role_transition_stats(df)._jdf.queryExecution().optimizedPlan().toString()
+    # exactly one per-conversation window (the lead) — the normalizing
+    # window runs over the tiny post-aggregate relation
+    assert plan.count("Window") == 2

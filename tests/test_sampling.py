@@ -290,3 +290,62 @@ class TestTokenBudgetMix:
         assert sorted(r["k"] for r in a.collect()) == sorted(
             r["k"] for r in b.collect()
         )
+
+
+class TestTemperatureWeights:
+    def test_tau_one_is_natural_distribution(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("en", 900), ("fr", 90), ("zh", 10)], "lang string, n long"
+        )
+        out = temperature_weights(
+            df, group_col="lang", size_col="n", tau=1.0
+        ).toPandas().set_index("lang")
+        assert abs(out.loc["en", "weight"] - 0.9) < 1e-6
+        assert abs(out.loc["zh", "weight"] - 0.01) < 1e-6
+        assert abs(out["weight"].sum() - 1.0) < 1e-5
+
+    def test_tau_zero_is_uniform(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("en", 900), ("fr", 90), ("zh", 10)], "lang string, n long"
+        )
+        out = temperature_weights(
+            df, group_col="lang", size_col="n", tau=0.0
+        ).toPandas()
+        assert (abs(out["weight"] - 1 / 3) < 1e-6).all()
+
+    def test_budget_allocation_and_oversample(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [("web", 8000), ("wiki", 2000)], "src string, n long"
+        )
+        out = temperature_weights(
+            df, group_col="src", size_col="n", tau=0.5, budget=10_000.0
+        ).toPandas().set_index("src")
+        # share 0.8/0.2 -> sqrt -> 0.894/0.447 -> weights 2/3, 1/3
+        assert abs(out.loc["web", "weight"] - 2 / 3) < 1e-4
+        assert abs(out.loc["wiki", "target_size"] - 10_000 / 3) < 0.5
+        # wiki gets MORE than its size: oversample factor > 1
+        assert out.loc["wiki", "sample_factor"] > 1.0
+        assert out.loc["web", "sample_factor"] < 1.0
+
+    def test_tau_rejects_negative(self, spark):
+        import pytest as _pytest
+
+        from featurescreening_jl_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame([("a", 1)], "g string, n long")
+        with _pytest.raises(ValueError):
+            temperature_weights(df, group_col="g", size_col="n", tau=-0.1)
