@@ -1750,6 +1750,22 @@ def q_temperature_mix(spark, sf):
     )
 
 
+def q_session_funnel(spark, sf):
+    # ordered-stage funnel (view -> click -> purchase) over gap-sessionized
+    # events: cumulative-window subsequence match, one shuffle + one sort
+    # shared with every other sessionized feature; final rollup is
+    # |stages| rows from a single totals row (one explode, no per-stage
+    # union re-running the aggregate).
+    from featurescreening_jl_spark.operators.window_features import (
+        session_funnel,
+    )
+
+    ev = _t(spark, sf, "events")
+    return session_funnel(
+        ev, ["view", "click", "purchase"], by="user_id", gap_seconds=1800
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1835,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "role_transitions": q_role_transitions,
         "temperature_mix": q_temperature_mix,
+        "session_funnel": q_session_funnel,
     }
 
 
@@ -3543,6 +3560,69 @@ def _oracle_sql_base() -> dict[str, str]:
                    any_value(target) AS target,
                    count(*)::BIGINT AS n_context_turns
             FROM prs GROUP BY conv_id, turn_idx
+        """,
+        # ordered-stage funnel over gap-sessionized events: cumulative
+        # seen-flags encode the view->click->purchase subsequence match
+        "session_funnel": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT *, (sum(new_s) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND CURRENT ROW) - 1)
+                            AS session_id
+              FROM g
+            ),
+            f0 AS (
+              SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                            OVER wc AS seen0
+              FROM s
+              WINDOW wc AS (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            f1 AS (
+              SELECT *, max(CASE WHEN event_type = 'click' AND seen0 = 1
+                                 THEN 1 ELSE 0 END) OVER wc AS seen1
+              FROM f0
+              WINDOW wc AS (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            f2 AS (
+              SELECT *, max(CASE WHEN event_type = 'purchase' AND seen1 = 1
+                                 THEN 1 ELSE 0 END) OVER wc AS seen2
+              FROM f1
+              WINDOW wc AS (PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ),
+            ps AS (
+              SELECT user_id, session_id,
+                     max(seen0) AS s0, max(seen1) AS s1, max(seen2) AS s2
+              FROM f2 GROUP BY user_id, session_id
+            ),
+            tot AS (
+              SELECT count(*) AS n, sum(s0) AS s0, sum(s1) AS s1,
+                     sum(s2) AS s2
+              FROM ps
+            )
+            SELECT 1 AS stage_idx, 'view' AS stage, s0::BIGINT AS n_sessions,
+                   round(s0::DOUBLE / nullif(n, 0), 6) AS conversion FROM tot
+            UNION ALL
+            SELECT 2, 'click', s1::BIGINT,
+                   round(s1::DOUBLE / nullif(s0, 0), 6) FROM tot
+            UNION ALL
+            SELECT 3, 'purchase', s2::BIGINT,
+                   round(s2::DOUBLE / nullif(s1, 0), 6) FROM tot
         """,
         # role-bigram transition counts + P(role_to | role_from) over the
         # shared conversation order

@@ -33,6 +33,7 @@ __all__ = [
     "conversation_aggregates",
     "trailing_time_window",
     "trailing_time_features",
+    "session_funnel",
 ]
 
 
@@ -288,4 +289,88 @@ def conversation_aggregates(df: DataFrame) -> DataFrame:
             "duration_sec"
         ),
         F.avg(F.length("text")).alias("avg_text_len"),
+    )
+
+
+def session_funnel(
+    df: DataFrame,
+    stages: list[str],
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Ordered-stage funnel over gap-sessionized events: for each session,
+    did it hit ``stages[0]``, then ``stages[1]`` at-or-after that, then
+    ``stages[2]`` at-or-after THAT, ... — the product-analytics primitive
+    (signup→view→purchase) re-expressed as cumulative-window flags, no
+    per-session UDF and no self-join per stage.
+
+    Mechanism: over the shared per-(entity, session) cumulative window,
+    ``seen_k = max(type == stages[k] AND seen_{k-1})`` — each stage's flag
+    can only turn on at a row that occurs at-or-after a row where the
+    previous stage's flag was already on, which encodes the ordered-
+    subsequence match exactly. ``k`` chained window columns over ONE
+    window spec = one shuffle on ``by`` + one sort, identical to every
+    other sessionized feature (the sort is shared/elided on ts-sorted
+    inputs). The final aggregate is two tiers: per-session maxima
+    (map-side partials), then a |stages|-row rollup.
+
+    Output: one row per stage — ``stage_idx`` (1-based), ``stage``,
+    ``n_sessions`` (sessions reaching the stage in order), and
+    ``conversion`` (n_sessions / stage-1's n_sessions, rounded 6 dp;
+    stage 1 converts from the total session count).
+    """
+    if not stages:
+        raise ValueError("session_funnel: at least one stage required")
+    sess = sessionize(
+        df, gap_seconds=gap_seconds, by=by, ts_col=ts_col, order=order
+    )
+    cum = (
+        Window.partitionBy(by, "session_id")
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = None
+    seen_cols = []
+    for k, stage in enumerate(stages):
+        hit = F.col(type_col) == F.lit(stage)
+        if prev is not None:
+            # seen_{k-1} is itself a cumulative max, so its current-row
+            # value already covers every preceding row — no nested window
+            hit = hit & (F.col(prev) == 1)
+        col = f"__seen_{k}"
+        sess = sess.withColumn(col, F.max(hit.cast("int")).over(cum))
+        prev = col
+        seen_cols.append(col)
+    per_session = sess.groupBy(by, "session_id").agg(
+        *[F.max(c).alias(c) for c in seen_cols]
+    )
+    totals = per_session.agg(
+        F.count(F.lit(1)).alias("__n_sessions"),
+        *[F.sum(c).alias(c) for c in seen_cols],
+    )
+    # unpivot the single totals row with ONE explode — the aggregate plan
+    # runs once (a per-stage union would clone it per branch)
+    entries = []
+    for k, stage in enumerate(stages):
+        denom = F.col("__n_sessions") if k == 0 else F.col(f"__seen_{k-1}")
+        entries.append(
+            F.struct(
+                F.lit(k + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col(f"__seen_{k}").cast("long").alias("n_sessions"),
+                F.round(
+                    F.col(f"__seen_{k}")
+                    / F.when(denom > 0, denom)
+                    .otherwise(F.lit(None))
+                    .cast("double"),
+                    6,
+                ).alias("conversion"),
+            )
+        )
+    return totals.select(F.explode(F.array(*entries)).alias("__e")).select(
+        "__e.stage_idx", "__e.stage", "__e.n_sessions", "__e.conversion"
     )

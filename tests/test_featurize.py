@@ -347,3 +347,49 @@ class TestWinnowFingerprints:
         )
         assert n > 0
         assert time.time() - t0 < 60  # O(len^2) form measured ~1 s/doc
+
+
+class TestSessionFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            [(u, i, float(t), e) for i, (u, t, e) in enumerate(rows)],
+            "user_id long, event_id long, ts double, event_type string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_ordered_subsequence_semantics(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            session_funnel,
+        )
+
+        rows = [
+            # user 1: full ordered funnel in one session
+            (1, 0, "view"), (1, 10, "click"), (1, 20, "purchase"),
+            # user 2: purchase BEFORE view/click — only stage 1+2 in order
+            (2, 0, "purchase"), (2, 10, "view"), (2, 20, "click"),
+            # user 3: view then purchase, click missing — stage 1 only
+            (3, 0, "view"), (3, 10, "purchase"),
+            # user 4: stages split across two sessions (gap > 1800s):
+            # view in session 0, click+purchase in session 1 — no session
+            # completes view->click
+            (4, 0, "view"), (4, 5000, "click"), (4, 5010, "purchase"),
+        ]
+        out = {
+            r["stage"]: (r["n_sessions"], r["conversion"])
+            for r in session_funnel(
+                self._events(spark, rows),
+                ["view", "click", "purchase"],
+                gap_seconds=1800,
+            ).collect()
+        }
+        # sessions: u1 x1, u2 x1, u3 x1, u4 x2 = 5 total
+        assert out["view"] == (4, 0.8)          # u1, u2, u3, u4-s0
+        assert out["click"] == (2, 0.5)         # u1, u2 (click after view)
+        assert out["purchase"] == (1, 0.5)      # u1 only (ordered)
+
+    def test_empty_stage_list_rejected(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            session_funnel,
+        )
+
+        with pytest.raises(ValueError):
+            session_funnel(self._events(spark, [(1, 0, "view")]), [])
