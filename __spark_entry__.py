@@ -1766,6 +1766,26 @@ def q_session_funnel(spark, sf):
     )
 
 
+def q_dsir_weights(spark, sf):
+    # DSIR importance weights: likelihood ratio between the English-subset
+    # char-trigram LM (target domain) and the whole-corpus LM, length
+    # normalized. The oracle recomputes BOTH models and every per-doc
+    # ratio, so the merged-model single-pass scoring join is value-checked
+    # end-to-end.
+    from featurescreening_jl_spark.operators.lm import dsir_weights
+
+    docs = _t(spark, sf, "documents")
+    out = dsir_weights(docs, docs.where(F.col("lang") == "en"), n=3)
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        F.round("avg_logp_target", 6).alias("avg_logp_target"),
+        F.round("avg_logp_raw", 6).alias("avg_logp_raw"),
+        F.round("log_ratio", 6).alias("log_ratio"),
+        F.round("weight", 6).alias("weight"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1852,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": q_role_transitions,
         "temperature_mix": q_temperature_mix,
         "session_funnel": q_session_funnel,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -3560,6 +3581,41 @@ def _oracle_sql_base() -> dict[str, str]:
                    any_value(target) AS target,
                    count(*)::BIGINT AS n_context_turns
             FROM prs GROUP BY conv_id, turn_idx
+        """,
+        # DSIR: per-doc avg-log-likelihood ratio between the lang='en'
+        # trigram LM and the whole-corpus trigram LM, both add-one smoothed
+        "dsir_weights": r"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+              FROM documents
+            ),
+            tri AS (
+              SELECT doc_id, lang, substr(s, i, 3) AS g
+              FROM norm, unnest(range(1, length(s) - 1)) AS u(i)
+              WHERE length(s) >= 3
+            ),
+            mt AS (SELECT g, count(*)::DOUBLE AS c FROM tri
+                   WHERE lang = 'en' GROUP BY g),
+            mr AS (SELECT g, count(*)::DOUBLE AS c FROM tri GROUP BY g),
+            tt AS (SELECT sum(c) AS n, count(*) AS v FROM mt),
+            tr AS (SELECT sum(c) AS n, count(*) AS v FROM mr)
+            SELECT t.doc_id,
+                   count(*)::BIGINT AS n_ngrams,
+                   round(avg(ln((coalesce(mt.c, 0) + 1.0) / (tt.n + tt.v))),
+                         6) AS avg_logp_target,
+                   round(avg(ln((mr.c + 1.0) / (tr.n + tr.v))), 6)
+                       AS avg_logp_raw,
+                   round(avg(ln((coalesce(mt.c, 0) + 1.0) / (tt.n + tt.v)))
+                         - avg(ln((mr.c + 1.0) / (tr.n + tr.v))), 6)
+                       AS log_ratio,
+                   round(exp(avg(ln((coalesce(mt.c, 0) + 1.0)
+                                    / (tt.n + tt.v)))
+                             - avg(ln((mr.c + 1.0) / (tr.n + tr.v)))), 6)
+                       AS weight
+            FROM tri t LEFT JOIN mt ON t.g = mt.g
+                 JOIN mr ON t.g = mr.g, tt, tr
+            GROUP BY t.doc_id
         """,
         # ordered-stage funnel over gap-sessionized events: cumulative
         # seen-flags encode the view->click->purchase subsequence match

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngram_counts", "ngram_lm_score"]
+__all__ = ["char_ngram_counts", "ngram_lm_score", "dsir_weights"]
 
 
 def _exploded_char_grams(
@@ -134,4 +134,86 @@ def ngram_lm_score(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_ngrams"),
         F.avg("__lp").alias("avg_logp"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    n: int = 3,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) re-expressed declaratively: weight every raw-corpus
+    document by the likelihood ratio between a TARGET-domain n-gram LM
+    and the RAW-corpus LM, ``w(x) = exp(avg_logp_target(x) -
+    avg_logp_raw(x))`` — documents that look like the target domain get
+    weight > 1 and can be importance-sampled into the training mix
+    (compose with :func:`~featurescreening_jl_spark.operators.sampling.
+    weighted_reservoir` for the resampling step). Both LMs are add-one-
+    smoothed character n-gram models (:func:`char_ngram_counts`); the
+    ratio is per-gram-averaged (length-normalized), the standard
+    stabilization.
+
+    Plan shape: the two models are FULL-OUTER merged into one bounded
+    table (≤ alphabet^n rows) and broadcast once, so the raw corpus is
+    exploded and scored in a SINGLE pass — one broadcast hash join + one
+    per-doc aggregate, instead of two independent score passes. The
+    target corpus is scanned once (its count aggregate); the raw corpus
+    twice (its model + the scoring pass), both map-side-combined.
+
+    Output: ``id_col``, ``n_ngrams``, ``avg_logp_target``,
+    ``avg_logp_raw``, ``log_ratio``, ``weight``.
+    """
+    mt = char_ngram_counts(target, n, id_col=id_col, text_col=text_col)
+    mr = char_ngram_counts(df, n, id_col=id_col, text_col=text_col)
+    merged = (
+        mt.select(F.col("gram"), F.col("c").alias("__ct"))
+        .join(
+            mr.select(F.col("gram"), F.col("c").alias("__cr")),
+            "gram",
+            "full_outer",
+        )
+    )
+    tot = merged.agg(
+        F.sum(F.coalesce("__ct", F.lit(0))).alias("__Nt"),
+        F.count("__ct").alias("__Vt"),
+        F.sum(F.coalesce("__cr", F.lit(0))).alias("__Nr"),
+        F.count("__cr").alias("__Vr"),
+    )
+    m = merged
+    if broadcast_model:
+        m = F.broadcast(m)
+    grams = _exploded_char_grams(df, id_col, text_col, n)
+    scored = (
+        grams.join(m, grams["__g"] == m["gram"], "left")
+        .join(F.broadcast(tot))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__Nt") + F.col("__Vt"))
+            ).alias("__lpt"),
+            F.log(
+                (F.coalesce(F.col("__cr"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__Nr") + F.col("__Vr"))
+            ).alias("__lpr"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.avg("__lpt").alias("avg_logp_target"),
+        F.avg("__lpr").alias("avg_logp_raw"),
+    )
+    ratio = F.col("avg_logp_target") - F.col("avg_logp_raw")
+    return per_doc.select(
+        id_col,
+        "n_ngrams",
+        "avg_logp_target",
+        "avg_logp_raw",
+        ratio.alias("log_ratio"),
+        F.exp(ratio).alias("weight"),
     )

@@ -361,3 +361,50 @@ class TestBM25:
             .toString()
         )
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestDsirWeights:
+    def test_self_target_weight_is_one(self, spark):
+        from featurescreening_jl_spark.operators.lm import dsir_weights
+
+        docs = spark.createDataFrame(
+            [(0, "the quick brown fox jumps"), (1, "pack my box with jugs")],
+            "doc_id long, text string",
+        )
+        out = dsir_weights(docs, docs, n=3).toPandas()
+        # target model == raw model -> log ratio 0, weight exactly 1
+        assert (abs(out["log_ratio"]) < 1e-12).all()
+        assert (abs(out["weight"] - 1.0) < 1e-12).all()
+
+    def test_target_like_docs_weigh_more(self, spark):
+        from featurescreening_jl_spark.operators.lm import dsir_weights
+
+        rows = [
+            (0, "spark table join scan filter window", "code"),
+            (1, "spark table join filter scan window plan", "code"),
+            (2, "zzq xqv jjw qqz vvx wwj", "noise"),
+            (3, "spark join window scan table filter", "code"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, d string")
+        target = docs.where(F.col("d") == "code")
+        w = {
+            r["doc_id"]: r["weight"]
+            for r in dsir_weights(docs, target, n=3).collect()
+        }
+        assert w[0] > w[2] and w[1] > w[2] and w[3] > w[2]
+        assert w[2] < 1.0
+
+    def test_single_scoring_pass_plan(self, spark):
+        from featurescreening_jl_spark.operators.lm import dsir_weights
+
+        docs = spark.createDataFrame(
+            [(0, "abcdef"), (1, "bcdefg")], "doc_id long, text string"
+        )
+        out = dsir_weights(docs, docs, n=3)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the totals aggregate and the scoring join both consume the
+        # merged-model subplan; physically the model-build shuffles must
+        # be REUSED (each gram explode runs once), not recomputed per
+        # consumer
+        assert plan.count("ReusedExchange") >= 2
