@@ -1786,6 +1786,37 @@ def q_dsir_weights(spark, sf):
     )
 
 
+def q_strip_markup(spark, sf):
+    # web-extraction fallback: deterministic HTML chrome (script/style
+    # payloads, comments, block tags, entities) wrapped around every
+    # document, then stripped by the single codegen'd regexp chain — the
+    # oracle rebuilds the same page and strips it with RE2, so every rule
+    # (element drop, comment drop, block->newline, tag strip, entity
+    # unescape, whitespace collapse) is byte-for-byte checked.
+    from featurescreening_jl_spark.operators.text_analysis import (
+        strip_markup,
+    )
+
+    docs = _t(spark, sf, "documents")
+    page = F.concat(
+        F.lit(
+            '<html><head><style>p {color: red}</style></head>'
+            '<body onload="init()"><!-- nav chrome --><p>'
+        ),
+        F.replace(F.col("text"), F.lit(" the "), F.lit(" &amp; ")),
+        F.lit(
+            '</p><script type="text/javascript">var x = 1 < 2;</script>'
+            "<br/>tail &lt;ok&gt; &#39;q&#39;&nbsp;end</body></html>"
+        ),
+    )
+    clean = strip_markup(page)
+    return docs.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1873,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "session_funnel": q_session_funnel,
         "dsir_weights": q_dsir_weights,
+        "strip_markup": q_strip_markup,
     }
 
 
@@ -3581,6 +3613,42 @@ def _oracle_sql_base() -> dict[str, str]:
                    any_value(target) AS target,
                    count(*)::BIGINT AS n_context_turns
             FROM prs GROUP BY conv_id, turn_idx
+        """,
+        # markup strip round-trip: rebuild the same deterministic page and
+        # strip it with RE2 (same shared regex subset) byte-for-byte
+        "strip_markup": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     '<html><head><style>p {color: red}</style></head>'
+                     || '<body onload="init()"><!-- nav chrome --><p>'
+                     || replace(text, ' the ', ' &amp; ')
+                     || '</p><script type="text/javascript">var x = 1 < 2;</script>'
+                     || '<br/>tail &lt;ok&gt; &#39;q&#39;&nbsp;end</body></html>'
+                         AS h
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(h,
+                                   '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                                 '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                             '(?i)<(br|/p|/div|/li)\s*/?>', chr(10), 'g'),
+                           '(?s)<[^>]*>', ' ', 'g'),
+                         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                         '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+                       '\s+', ' ', 'g')) AS text_clean
+              FROM m
+            )
+            SELECT doc_id, text_clean,
+                   length(text_clean)::BIGINT AS n_chars_clean
+            FROM s
         """,
         # DSIR: per-doc avg-log-likelihood ratio between the lang='en'
         # trigram LM and the whole-corpus trigram LM, both add-one smoothed

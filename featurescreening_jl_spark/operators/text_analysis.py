@@ -29,6 +29,7 @@ __all__ = [
     "token_length_histogram",
     "length_quantiles",
     "mask_repeated_ngrams",
+    "strip_markup",
 ]
 
 # Fixed public weights for the logistic quality scorer — a C4/Gopher-style
@@ -853,3 +854,44 @@ def mask_repeated_ngrams(
             ),
         )
     )
+
+
+def strip_markup(col: Column | str) -> Column:
+    """HTML/markup removal as ONE codegen'd regexp chain — the
+    web-extraction step of corpus preparation (trafilatura/jusText-class
+    tools do layout-aware extraction; this is the declarative engine-side
+    fallback that runs at full scan speed with no Python):
+
+    1. drop ``<script>``/``<style>`` elements WITH their payload (code and
+       CSS must not leak into training text),
+    2. drop HTML comments ``<!-- … -->``,
+    3. turn ``<br>``/``</p>``/``</div>``/``</li>`` into newlines
+       (block-level separators carry whitespace meaning),
+    4. strip every remaining tag,
+    5. unescape the six ubiquitous entities
+       (``&amp; &lt; &gt; &quot; &#39; &nbsp;``),
+    6. collapse runs of whitespace and trim.
+
+    Every pattern is shared Java-regex/RE2 syntax (non-greedy ``.*?`` with
+    an ``(?is)`` prefix), so a SQL oracle reproduces the output
+    byte-for-byte. Pure expression: compose under ``select`` — zero
+    shuffles, zero UDFs.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # two patterns, not one with a backreference: RE2 (the oracle engine)
+    # has no backreferences, and script-inside-style is not valid HTML
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<(br|/p|/div|/li)\s*/?>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

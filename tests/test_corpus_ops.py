@@ -408,3 +408,37 @@ class TestDsirWeights:
         # be REUSED (each gram explode runs once), not recomputed per
         # consumer
         assert plan.count("ReusedExchange") >= 2
+
+
+class TestStripMarkup:
+    def _strip(self, spark, html):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            strip_markup,
+        )
+
+        df = spark.createDataFrame([(html,)], "h string")
+        return df.select(strip_markup("h").alias("t")).collect()[0]["t"]
+
+    def test_script_payload_removed_even_with_lt(self, spark):
+        out = self._strip(
+            spark, 'before<script>if (1 < 2) { x = "<b>"; }</script>after'
+        )
+        assert out == "before after"
+
+    def test_double_escaped_amp_not_double_unescaped(self, spark):
+        # "&amp;lt;" is the ESCAPED text "&lt;" — it must NOT collapse to
+        # "<" (amp is unescaped last, exactly once)
+        assert self._strip(spark, "a &amp;lt; b") == "a &lt; b"
+
+    def test_block_tags_and_entities(self, spark):
+        out = self._strip(
+            spark,
+            "<ul><li>one</li><li>two</li></ul><p>3 &gt; 2 &amp; 1 &lt; 2</p>",
+        )
+        assert out == 'one two 3 > 2 & 1 < 2'
+
+    def test_comment_and_style_dropped(self, spark):
+        out = self._strip(
+            spark, "<style>body{}</style>x<!-- <p>hidden</p> -->y"
+        )
+        assert out == "x y"
