@@ -23,7 +23,7 @@ cardinalities union without rescanning either.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["kmv_hash_unit", "kmv_distinct_by"]
@@ -61,18 +61,32 @@ def kmv_distinct_by(
     keys = [by] if isinstance(by, str) else list(by)
     u = kmv_hash_unit(F.col(value_col)).alias("__u")
     sizes = df.groupBy(*keys).agg(F.count("*").alias("n_rows"))
-    # distinct hashes per group (map-side partial dedup), then the k
-    # smallest via one window — never a global sort
+    # distinct hashes per group (map-side partial dedup, shuffled on the
+    # WIDE (keys, hash) key so no single reducer owns a group) …
     hashes = df.select(*keys, u).groupBy(*keys, "__u").agg(F.lit(1)).select(
         *keys, "__u"
     )
-    w = Window.partitionBy(*keys).orderBy("__u")
-    topk = hashes.withColumn("__rn", F.row_number().over(w)).where(
-        F.col("__rn") <= k
+    # … then an exact min-k in two BOUNDED aggregate levels instead of a
+    # per-group window: level 1 keeps each shuffle partition's k smallest
+    # per group (state ≤ k per (group, partition); the exchange moves only
+    # those arrays), level 2 merges ≤ k × num_partitions candidates per
+    # group. The min-k set is partition-invariant, so the result is exact
+    # and deterministic; the row_number() window this replaces sorted a
+    # group's ENTIRE distinct-hash set in one reducer — the part that
+    # breaks first at 10^9-cardinality groups.
+    lvl1 = (
+        hashes.groupBy(*keys, F.spark_partition_id().alias("__pid"))
+        .agg(F.slice(F.array_sort(F.collect_set("__u")), 1, k).alias("__tk"))
+        .select(*keys, F.explode("__tk").alias("__u"))
     )
-    est = topk.groupBy(*keys).agg(
-        F.count("*").alias("kmv_k"),
-        F.max("__u").alias("kmv_max_hash"),
+    est = (
+        lvl1.groupBy(*keys)
+        .agg(F.slice(F.array_sort(F.collect_set("__u")), 1, k).alias("__tk"))
+        .select(
+            *keys,
+            F.size("__tk").cast("long").alias("kmv_k"),
+            F.element_at("__tk", -1).alias("kmv_max_hash"),
+        )
     )
     est = est.withColumn(
         "kmv_estimate",

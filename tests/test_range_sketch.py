@@ -132,3 +132,37 @@ class TestKmvDistinct:
         df = spark.createDataFrame([("g", 1)], "g string, v long")
         with pytest.raises(ValueError):
             kmv_distinct_by(df, "v", by="g", k=1)
+
+
+def test_kmv_no_per_group_window_sort(spark):
+    """The min-k must come from bounded two-level aggregates, never a
+    per-group window (which sorts a group's whole distinct-hash set in
+    one reducer)."""
+    from featurescreening_jl_spark.operators.sketches import kmv_distinct_by
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(500)], "g int, v string"
+    )
+    plan = (
+        kmv_distinct_by(df, "v", by="g", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
+def test_kmv_invariant_to_partitioning(spark):
+    from featurescreening_jl_spark.operators.sketches import kmv_distinct_by
+
+    df = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(500)], "g int, v string"
+    )
+    a = sorted(map(tuple, kmv_distinct_by(df, "v", by="g", k=16).collect()))
+    b = sorted(
+        map(
+            tuple,
+            kmv_distinct_by(df.repartition(13), "v", by="g", k=16).collect(),
+        )
+    )
+    assert a == b
