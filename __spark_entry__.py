@@ -974,6 +974,23 @@ def q_kmv_distinct(spark, sf):
     return kmv_distinct_by(ev, "user_id", by="event_type", k=64)
 
 
+def q_kmv_overlap(spark, sf):
+    # Pairwise corpus-overlap profile: per document SOURCE, sketch the
+    # distinct word-3-shingle set with k=128 KMV, then estimate every
+    # source pair's content Jaccard from the merged bottom-k — the
+    # "which crawls duplicate each other" matrix, never intersecting
+    # full shingle sets. Deterministic: the oracle replays the identical
+    # md5 min-k sketches and the identical bottom-k estimator.
+    from featurescreening_jl_spark.operators.dedup import shingles
+    from featurescreening_jl_spark.operators.sketches import kmv_overlap
+
+    docs = _t(spark, sf, "documents")
+    sh = docs.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    )
+    return kmv_overlap(sh, "shingle", by="source", k=128)
+
+
 def q_pivot_counts(spark, sf):
     # Classic OLAP pivot: hour-of-day × event_type count matrix. Pivot
     # values passed EXPLICITLY so Spark skips the extra distinct-scan
@@ -1881,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_facets": q_json_facets,
         "range_join": q_range_join,
         "kmv_distinct": q_kmv_distinct,
+        "kmv_overlap": q_kmv_overlap,
         "pivot_counts": q_pivot_counts,
         "cosine_neardup": q_cosine_neardup,
         "media_features": q_media_features,
@@ -3098,6 +3116,66 @@ def _oracle_sql_base() -> dict[str, str]:
                        AS kmv_estimate,
                    round(e.kmv_max_hash, 8) AS kmv_max_hash
             FROM sz s JOIN est e USING (event_type)
+        """,
+        # replays q_kmv_overlap exactly: same normalization + word
+        # 3-shingles as the ngram_jaccard oracles, same portable 60-bit
+        # md5 unit hash as kmv_distinct, same bottom-k estimator
+        "kmv_overlap": r"""
+            WITH toks AS (
+              SELECT source AS g,
+                     string_split_regex(
+                       lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                       ' ') AS toks
+              FROM documents
+            ),
+            sh AS (
+              SELECT DISTINCT g,
+                     unnest(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+              FROM toks
+            ),
+            h AS (
+              SELECT DISTINCT g,
+                     ('0x' || substr(md5(s), 1, 15))::BIGINT
+                         / 1152921504606846976.0 AS u
+              FROM sh
+            ),
+            mk AS (
+              SELECT g, u FROM (
+                SELECT g, u,
+                       row_number() OVER (PARTITION BY g ORDER BY u) AS rn
+                FROM h
+              ) WHERE rn <= 128
+            ),
+            pr AS (
+              SELECT a.g AS ga, b.g AS gb
+              FROM (SELECT DISTINCT g FROM mk) a
+              JOIN (SELECT DISTINCT g FROM mk) b ON a.g < b.g
+            ),
+            un AS (
+              SELECT DISTINCT p.ga, p.gb, m.u
+              FROM pr p JOIN mk m ON m.g IN (p.ga, p.gb)
+            ),
+            uk AS (
+              SELECT ga, gb, u FROM (
+                SELECT ga, gb, u,
+                       row_number() OVER (PARTITION BY ga, gb
+                                          ORDER BY u) AS rn
+                FROM un
+              ) WHERE rn <= 128
+            )
+            SELECT uk.ga AS source_a, uk.gb AS source_b,
+                   COUNT(*)::BIGINT AS k_union,
+                   SUM(CASE WHEN ma.u IS NOT NULL AND mb.u IS NOT NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS k_inter,
+                   round(SUM(CASE WHEN ma.u IS NOT NULL AND mb.u IS NOT
+                       NULL THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+                       AS jaccard_est
+            FROM uk
+            LEFT JOIN mk ma ON ma.g = uk.ga AND ma.u = uk.u
+            LEFT JOIN mk mb ON mb.g = uk.gb AND mb.u = uk.u
+            GROUP BY 1, 2
         """,
         "pivot_counts": """
             SELECT hour(ts)::INT AS hour,

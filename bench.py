@@ -110,6 +110,12 @@ HEADLINE = [
     "bm25",
     "bpe_vocab",
     "bpe_encode",
+    "role_transitions",
+    "temperature_mix",
+    "session_funnel",
+    "dsir_weights",
+    "strip_markup",
+    "kmv_overlap",
 ]
 
 

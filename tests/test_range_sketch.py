@@ -166,3 +166,83 @@ def test_kmv_invariant_to_partitioning(spark):
         )
     )
     assert a == b
+
+
+class TestKmvOverlap:
+    def _df(self, spark):
+        rows = (
+            [("A", f"v{i}") for i in range(30)]
+            + [("B", f"v{i}") for i in range(15, 45)]  # |A∩B|=15, |A∪B|=45
+            + [("C", f"w{i}") for i in range(10)]  # disjoint from A and B
+        )
+        return spark.createDataFrame(rows, "g string, v string")
+
+    def test_exact_when_k_covers_union(self, spark):
+        from featurescreening_jl_spark.operators.sketches import kmv_overlap
+
+        out = {
+            (r["g_a"], r["g_b"]): r
+            for r in kmv_overlap(self._df(spark), "v", "g", k=512).collect()
+        }
+        assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ab = out[("A", "B")]
+        assert (ab["k_union"], ab["k_inter"]) == (45, 15)
+        assert ab["jaccard_est"] == pytest.approx(15 / 45, abs=1e-6)
+        for pair in [("A", "C"), ("B", "C")]:
+            assert out[pair]["k_inter"] == 0
+            assert out[pair]["jaccard_est"] == 0.0
+
+    def test_estimator_matches_pure_python_replay(self, spark):
+        """k below the union size: the sketch-space estimate must equal a
+        pure-Python replay of the identical md5 bottom-k definition —
+        pinning the estimator itself, not just its plumbing."""
+        import hashlib
+
+        from featurescreening_jl_spark.operators.sketches import kmv_overlap
+
+        k = 8
+        sets = {
+            "A": {f"v{i}" for i in range(30)},
+            "B": {f"v{i}" for i in range(15, 45)},
+        }
+
+        def h60(v):
+            return int(hashlib.md5(v.encode()).hexdigest()[:15], 16) / float(
+                1 << 60
+            )
+
+        sk = {g: sorted(map(h60, vs))[:k] for g, vs in sets.items()}
+        merged = sorted(set(sk["A"]) | set(sk["B"]))[:k]
+        inter = [u for u in merged if u in set(sk["A"]) & set(sk["B"])]
+        expect = (len(merged), len(inter), round(len(inter) / len(merged), 6))
+
+        row = (
+            kmv_overlap(self._df(spark), "v", "g", k=k)
+            .filter((F.col("g_a") == "A") & (F.col("g_b") == "B"))
+            .collect()[0]
+        )
+        assert (row["k_union"], row["k_inter"], row["jaccard_est"]) == expect
+
+    def test_invariant_to_partitioning(self, spark):
+        from featurescreening_jl_spark.operators.sketches import kmv_overlap
+
+        df = self._df(spark)
+        a = sorted(map(tuple, kmv_overlap(df, "v", "g", k=8).collect()))
+        b = sorted(
+            map(tuple, kmv_overlap(df.repartition(11), "v", "g", k=8).collect())
+        )
+        assert a == b
+
+    def test_no_window_and_broadcast_pairs(self, spark):
+        """Plan shape: min-k via bounded aggregates (no Window), and the
+        pairwise stage a broadcast join over the sketch rows."""
+        from featurescreening_jl_spark.operators.sketches import kmv_overlap
+
+        plan = (
+            kmv_overlap(self._df(spark), "v", "g", k=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "Broadcast" in plan
