@@ -1834,6 +1834,74 @@ def q_strip_markup(spark, sf):
     )
 
 
+def q_expanding_zscore(spark, sf):
+    """Leakage-free standardization of per-turn text length against the
+    conversation's own history (operators/window_features.py
+    expanding_zscore) — integer-window-sum form, bit-portable to the
+    oracle."""
+    from featurescreening_jl_spark.operators.window_features import (
+        expanding_zscore,
+    )
+
+    t = _transcripts(spark, sf).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    out = expanding_zscore(t, "text_len", out="z_text_len")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "text_len",
+        F.round("z_text_len", 6).alias("z_text_len"),
+    )
+
+
+def q_trailing_slope(spark, sf):
+    """Trailing-10-turn least-squares trend of text length vs turn_idx
+    (operators/window_features.py trailing_slope) — slope from exact
+    integer window sums, no regr_* streaming aggregate."""
+    from featurescreening_jl_spark.operators.window_features import (
+        trailing_slope,
+    )
+
+    t = _transcripts(spark, sf).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    out = trailing_slope(t, "text_len", x_col="turn_idx", k=10)
+    return out.select(
+        "conv_id", "turn_idx", "text_len", F.round("slope", 6).alias("slope")
+    )
+
+
+def q_expanding_rank(spark, sf):
+    """Point-in-time percentile rank of the current turn's text length
+    among the conversation's strictly-prior turns
+    (operators/window_features.py expanding_rank — chunk-vectorized
+    Fenwick-free numpy kernel under applyInPandas)."""
+    from featurescreening_jl_spark.operators.window_features import (
+        expanding_rank,
+    )
+
+    t = _transcripts(spark, sf).select(
+        "conv_id", "turn_idx", "ts", F.length("text").cast("long").alias("text_len")
+    )
+    out = expanding_rank(t, "text_len")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "text_len",
+        F.round("pct_rank_past", 6).alias("pct_rank_past"),
+    )
+
+
+def q_pmi_bigrams(spark, sf):
+    """Corpus collocations: top-50 bigrams by pointwise mutual information
+    with min_count=5 (operators/text_analysis.py pmi_bigrams)."""
+    from featurescreening_jl_spark.operators.text_analysis import pmi_bigrams
+
+    docs = _t(spark, sf, "documents")
+    return pmi_bigrams(docs, "text", min_count=5, top_k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1923,6 +1991,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_funnel": q_session_funnel,
         "dsir_weights": q_dsir_weights,
         "strip_markup": q_strip_markup,
+        "expanding_zscore": q_expanding_zscore,
+        "trailing_slope": q_trailing_slope,
+        "expanding_rank": q_expanding_rank,
+        "pmi_bigrams": q_pmi_bigrams,
     }
 
 
@@ -3865,6 +3937,106 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(p / sum(p) OVER () * 1000000 / group_size, 6)
                        AS sample_factor
             FROM sc
+        """,
+        # expanding z-score: mean/variance of STRICTLY PRIOR text lengths
+        # from exact integer window sums (bit-identical to the Spark form)
+        "expanding_zscore": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            s AS (
+              SELECT conv_id, turn_idx,
+                     length(text)::BIGINT AS text_len,
+                     count(length(text)) OVER wp AS n,
+                     sum(length(text)::BIGINT) OVER wp AS s1,
+                     sum((length(text)::BIGINT)
+                         * (length(text)::BIGINT)) OVER wp AS s2
+              FROM t
+              WINDOW wp AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+            )
+            SELECT conv_id, turn_idx, text_len,
+                   CASE WHEN n >= 2 AND (n*s2 - s1*s1) > 0
+                        THEN round((text_len::DOUBLE - s1::DOUBLE/n::DOUBLE)
+                                   / sqrt((n*s2 - s1*s1)::DOUBLE
+                                          / (n*(n-1))::DOUBLE), 6)
+                        ELSE NULL END AS z_text_len
+            FROM s
+        """,
+        # trailing-10-row least-squares slope of text length vs turn_idx,
+        # from exact integer window sums (no regr_slope — portability)
+        "trailing_slope": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            s AS (
+              SELECT conv_id, turn_idx,
+                     length(text)::BIGINT AS text_len,
+                     count(*) OVER wk AS n,
+                     sum(turn_idx::BIGINT) OVER wk AS sx,
+                     sum(length(text)::BIGINT) OVER wk AS sy,
+                     sum(turn_idx::BIGINT * length(text)::BIGINT)
+                         OVER wk AS sxy,
+                     sum(turn_idx::BIGINT * turn_idx::BIGINT) OVER wk AS sxx
+              FROM t
+              WINDOW wk AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+                            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+            )
+            SELECT conv_id, turn_idx, text_len,
+                   CASE WHEN n >= 2 AND (n*sxx - sx*sx) <> 0
+                        THEN round((n*sxy - sx*sy)::DOUBLE
+                                   / (n*sxx - sx*sx)::DOUBLE, 6)
+                        ELSE NULL END AS slope
+            FROM s
+        """,
+        # point-in-time percentile rank: fraction of strictly-prior turns
+        # with strictly smaller text length (turn_idx IS the per-conv
+        # total order, so 'prior' = smaller turn_idx)
+        "expanding_rank": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            v AS (SELECT conv_id, turn_idx,
+                         length(text)::DOUBLE AS text_len FROM t)
+            SELECT a.conv_id, a.turn_idx, a.text_len::BIGINT AS text_len,
+                   CASE WHEN a.turn_idx > 0
+                        THEN round(
+                          coalesce(sum(CASE WHEN b.text_len < a.text_len
+                                            THEN 1 END), 0)::DOUBLE
+                          / a.turn_idx::DOUBLE, 6)
+                        ELSE NULL END AS pct_rank_past
+            FROM v a LEFT JOIN v b
+              ON a.conv_id = b.conv_id AND b.turn_idx < a.turn_idx
+            GROUP BY a.conv_id, a.turn_idx, a.text_len
+        """,
+        # top-50 bigram collocations by PMI (min_count=5); ln over exact
+        # integer counts, rounded 6 dp; ties broken by bigram asc
+        "pmi_bigrams": r"""
+            WITH base AS (
+              SELECT string_split(
+                       regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                       ' ') AS tk
+              FROM documents
+            ),
+            base2 AS (SELECT tk FROM base WHERE len(tk) > 0),
+            uni AS (
+              SELECT w, count(*)::BIGINT AS c_w
+              FROM (SELECT unnest(tk) AS w FROM base2)
+              GROUP BY w
+            ),
+            bi AS (
+              SELECT tk[i] || ' ' || tk[i+1] AS bigram,
+                     count(*)::BIGINT AS c_xy
+              FROM base2, unnest(range(1, len(tk))) AS r(i)
+              GROUP BY 1
+              HAVING count(*) >= 5
+            ),
+            n1 AS (SELECT sum(c_w)::BIGINT AS n1 FROM uni),
+            n2 AS (SELECT sum(c_xy)::BIGINT AS n2 FROM bi)
+            SELECT bigram, c_xy,
+                   round(ln(c_xy) + 2*ln(n1) - ln(n2)
+                         - ln(ux.c_w) - ln(uy.c_w), 6) AS pmi
+            FROM bi
+            JOIN uni ux ON ux.w = split_part(bigram, ' ', 1)
+            JOIN uni uy ON uy.w = split_part(bigram, ' ', 2)
+            CROSS JOIN n1 CROSS JOIN n2
+            ORDER BY pmi DESC, bigram
+            LIMIT 50
         """,
     }
 

@@ -30,6 +30,7 @@ __all__ = [
     "length_quantiles",
     "mask_repeated_ngrams",
     "strip_markup",
+    "pmi_bigrams",
 ]
 
 # Fixed public weights for the logistic quality scorer — a C4/Gopher-style
@@ -895,3 +896,89 @@ def strip_markup(col: Column | str) -> Column:
     ):
         c = F.replace(c, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-``top_k`` adjacent word pairs
+    by pointwise mutual information, ``pmi = ln(p(x,y) / (p(x)·p(y)))``
+    with ``p(x,y) = c_xy/N₂`` over bigram occurrences and ``p(x) = c_x/N₁``
+    over token occurrences. The standard phrase-detection signal
+    (word2vec's phrase pass, NLTK collocations) — here as a pure
+    DataFrame aggregation pipeline.
+
+    Shape at scale: tokens and bigrams explode map-side with partial
+    aggregation, so the two count shuffles carry (term, partial-count)
+    pairs — vocabulary-sized, not corpus-sized. The unigram↔bigram joins
+    key on single tokens (vocabulary-sized both sides; AQE picks
+    broadcast when one side fits). ``min_count`` prunes the long tail
+    BEFORE the joins. The two grand totals are single-row aggregates
+    cross-broadcast into the expression. Final ordering is a top-k
+    (TakeOrdered), never a global sort.
+
+    PMI is computed as a sum/difference of ``ln`` over EXACT integer
+    counts and rounded to 6 dp — portable to the SQL oracle without a
+    fused streaming aggregate, and immune to the ``c_xy·N₁²`` int64
+    overflow a ratio-form would hit at web scale.
+    """
+    toks_expr = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = df.select(toks_expr.alias("__tk")).where(F.size("__tk") > 0)
+
+    def bigram_array(tk):
+        # lambda-variable binding (see bigram_array in repetition_stats):
+        # keeps the split(...) out of the per-index lambda body so HOF
+        # eval computes it once per row, not once per element
+        return F.when(
+            F.size(tk) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - 1),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    uni = (
+        base.select(F.explode("__tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    bi = (
+        base.select(
+            F.explode(
+                F.element_at(F.transform(F.array(F.col("__tk")), bigram_array), 1)
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .where(F.col("c_xy") >= min_count)
+    )
+    n1 = uni.agg(F.sum("c_w").alias("n1"))
+    n2 = bi.agg(F.sum("c_xy").alias("n2"))
+    parts = F.split(F.col("bigram"), " ", 2)
+    scored = (
+        bi.withColumn("w1", F.element_at(parts, 1))
+        .withColumn("w2", F.element_at(parts, 2))
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_x")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_y")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .select(
+            "bigram",
+            "c_xy",
+            F.round(
+                F.log("c_xy")
+                + 2 * F.log("n1")
+                - F.log("n2")
+                - F.log("c_x")
+                - F.log("c_y"),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)

@@ -34,6 +34,9 @@ __all__ = [
     "trailing_time_window",
     "trailing_time_features",
     "session_funnel",
+    "expanding_zscore",
+    "trailing_slope",
+    "expanding_rank",
 ]
 
 
@@ -255,6 +258,162 @@ def turn_features(
             "label_next_is_tool",
             F.coalesce(F.lead("is_tool").over(w), F.lit(0.0)),
         )
+    )
+
+
+def expanding_zscore(
+    df: DataFrame,
+    value_col: str,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    out: str = "zscore",
+) -> DataFrame:
+    """Leakage-free standardization: z-score of the current value against
+    the mean/std of STRICTLY PRIOR rows of the key (frame ends at
+    ``-1 PRECEDING``) — the point-in-time form of the classic
+    standard-scaler feature. Null for the first two rows (no prior sample
+    / undefined sample std) and when the prior values are constant.
+
+    Numerically PORTABLE by construction: mean and sample variance are
+    derived from integer window sums (``Σy``, ``Σy²`` as BIGINT — exact)
+    via ``var = (n·Σy² − (Σy)²) / (n·(n−1))``, not from a streaming
+    stddev aggregate, so any engine replaying the same formula (the
+    DuckDB oracle does) reproduces bit-identical doubles. Requires an
+    integral ``value_col``; overflow bound: ``n·Σy²`` must fit int64
+    (fine for per-conversation counts — e.g. 1e6 turns of y ≤ 2e4 →
+    4e14).
+
+    One shuffle on ``by`` sharing the canonical per-conversation sort
+    with every other window feature; the expanding frame is a running
+    aggregate (O(1) per row), so mega-conversations stream — no per-group
+    materialization, no UDF.
+    """
+    w_past = turn_order_window(by, order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    y = F.col(value_col).cast("long")
+    n = F.count(y).over(w_past)
+    s1 = F.sum(y).over(w_past)
+    s2 = F.sum(y * y).over(w_past)
+    var_num = (n * s2 - s1 * s1).cast("double")
+    var = var_num / (n * (n - 1)).cast("double")
+    mean = s1.cast("double") / n.cast("double")
+    z = (y.cast("double") - mean) / F.sqrt(var)
+    return df.withColumn(
+        out, F.when((n >= 2) & (var_num > 0), z).otherwise(F.lit(None))
+    )
+
+
+def trailing_slope(
+    df: DataFrame,
+    value_col: str,
+    x_col: str = "turn_idx",
+    k: int = 10,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    out: str = "slope",
+) -> DataFrame:
+    """Local trend feature: least-squares slope of ``value_col`` against
+    ``x_col`` over the trailing ``k`` rows (inclusive of current — past
+    information only, zero leakage). Null while fewer than 2 points or
+    when ``x`` is constant in the frame.
+
+    Like :func:`expanding_zscore`, the slope is computed from EXACT
+    integer window sums — ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``
+    — rather than a fused ``regr_slope`` aggregate, for cross-engine
+    bit-reproducibility (regr_* streaming update order is
+    implementation-defined). Both columns must be integral.
+
+    Four running sums over ONE shared window spec ⇒ a single sort+window
+    stage; sliding frames evaluate incrementally, so cost is O(rows), not
+    O(rows·k).
+    """
+    w = turn_order_window(by, order).rowsBetween(-(k - 1), Window.currentRow)
+    x = F.col(x_col).cast("long")
+    y = F.col(value_col).cast("long")
+    n = F.count(y).over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxy = F.sum(x * y).over(w)
+    sxx = F.sum(x * x).over(w)
+    denom = (n * sxx - sx * sx).cast("double")
+    slope = (n * sxy - sx * sy).cast("double") / denom
+    return df.withColumn(
+        out, F.when((n >= 2) & (denom != 0), slope).otherwise(F.lit(None))
+    )
+
+
+def expanding_rank(
+    df: DataFrame,
+    value_col: str,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    out: str = "pct_rank_past",
+) -> DataFrame:
+    """Point-in-time percentile rank: the fraction of STRICTLY PRIOR rows
+    of the key whose value is strictly less than the current row's —
+    i.e. "where does this turn sit in the conversation's history so
+    far". Null at the first row (no history). The natural leakage-free
+    replacement for a global ``percent_rank`` (which reads the future).
+
+    No SQL window form exists (the frame would need a predicate on the
+    CURRENT row's value), so this is the module's one Arrow crossing: an
+    ``applyInPandas`` per key, vectorized in numpy. Per group the kernel
+    is O(n log n) and CHUNK-vectorized, not per-row Python: rows are
+    processed in blocks of 1024 — prior-chunk counts come from one
+    ``np.searchsorted`` over a maintained sorted prefix (vectorized over
+    the whole block), within-chunk counts from one boolean-matrix
+    reduction — so Python-level iteration is O(n/1024).
+
+    Skew note: a group must fit one task (like every grouped-UDF op
+    here); the maintained state is ONE extra value array, so a 10⁷-turn
+    mega-conversation costs ~160 MB transient — acceptable, and the
+    sort-based kernel keeps it CPU-cheap. Only (key, order, value)
+    columns enter the shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    order_cols = list(order)
+    slim = df.select(
+        F.col(by),
+        *[F.col(c) for c in order_cols],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in slim.schema.fields
+    ) + f", {out} double"
+
+    def rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True
+        )
+        v = pdf["__v"].to_numpy()
+        n = len(v)
+        res = np.full(n, np.nan)
+        prefix = np.empty(0)
+        CH = 1024
+        for lo in range(0, n, CH):
+            chunk = v[lo : lo + CH]
+            less = np.searchsorted(prefix, chunk, side="left").astype(
+                np.float64
+            )
+            # within-chunk strictly-less among earlier rows of the chunk
+            tri = (chunk[None, :] < chunk[:, None]) & (
+                np.arange(len(chunk))[None, :] < np.arange(len(chunk))[:, None]
+            )
+            less += tri.sum(axis=1)
+            past = lo + np.arange(len(chunk), dtype=np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                res[lo : lo + CH] = np.where(past > 0, less / past, np.nan)
+            prefix = np.sort(np.concatenate([prefix, chunk]), kind="mergesort")
+        out_pdf = pdf.copy()
+        out_pdf[out] = res
+        return out_pdf
+
+    ranked = slim.groupBy(by).applyInPandas(rank_group, out_schema)
+    return df.join(
+        ranked.select(by, *order_cols, out), on=[by, *order_cols], how="left"
     )
 
 

@@ -393,3 +393,154 @@ class TestSessionFunnel:
 
         with pytest.raises(ValueError):
             session_funnel(self._events(spark, [(1, 0, "view")]), [])
+
+
+class TestPointInTimeTransforms:
+    """expanding_zscore / trailing_slope / expanding_rank vs brute-force
+    python replays on the deterministic synthetic transcripts."""
+
+    @pytest.fixture(scope="class")
+    def lens(self, transcripts):
+        pdf = (
+            transcripts.select(
+                "conv_id", "turn_idx", "ts",
+                F.length("text").cast("long").alias("y"),
+            )
+            .orderBy("conv_id", "ts", "turn_idx")
+            .toPandas()
+        )
+        return pdf
+
+    def test_expanding_zscore_matches_bruteforce(self, spark, transcripts, lens):
+        from featurescreening_jl_spark.operators.window_features import (
+            expanding_zscore,
+        )
+        import numpy as np
+
+        t = transcripts.withColumn("y", F.length("text").cast("long"))
+        got = (
+            expanding_zscore(t, "y")
+            .select("conv_id", "turn_idx", "zscore")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        exp = []
+        for conv, g in lens.groupby("conv_id", sort=True):
+            v = g.sort_values(["ts", "turn_idx"])["y"].to_numpy()
+            for i in range(len(v)):
+                past = v[:i]
+                if len(past) < 2 or past.std(ddof=1) == 0:
+                    exp.append(np.nan)
+                else:
+                    exp.append((v[i] - past.mean()) / past.std(ddof=1))
+        np.testing.assert_allclose(
+            got["zscore"].to_numpy(dtype=float), np.array(exp),
+            rtol=1e-9, equal_nan=True,
+        )
+
+    def test_trailing_slope_matches_polyfit(self, spark, transcripts, lens):
+        from featurescreening_jl_spark.operators.window_features import (
+            trailing_slope,
+        )
+        import numpy as np
+
+        k = 7
+        t = transcripts.withColumn("y", F.length("text").cast("long"))
+        got = (
+            trailing_slope(t, "y", x_col="turn_idx", k=k)
+            .select("conv_id", "turn_idx", "slope")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        exp = []
+        for conv, g in lens.groupby("conv_id", sort=True):
+            g = g.sort_values(["ts", "turn_idx"])
+            x_all = g["turn_idx"].to_numpy(dtype=float)
+            y_all = g["y"].to_numpy(dtype=float)
+            for i in range(len(x_all)):
+                lo = max(0, i - k + 1)
+                x, y = x_all[lo : i + 1], y_all[lo : i + 1]
+                if len(x) < 2 or np.ptp(x) == 0:
+                    exp.append(np.nan)
+                else:
+                    exp.append(np.polyfit(x, y, 1)[0])
+        np.testing.assert_allclose(
+            got["slope"].to_numpy(dtype=float), np.array(exp),
+            rtol=1e-6, atol=1e-9, equal_nan=True,
+        )
+
+    def test_expanding_rank_matches_bruteforce_across_chunks(
+        self, spark, transcripts
+    ):
+        # the heavy conversation (heavy_every=29 → conv_00000000 or the
+        # heavy one) exceeds the 1024-row kernel chunk, exercising the
+        # prefix/searchsorted path, not just the within-chunk triangle
+        from featurescreening_jl_spark.operators.window_features import (
+            expanding_rank,
+        )
+        import numpy as np
+
+        t = transcripts.select(
+            "conv_id", "turn_idx", "ts", F.length("text").cast("long").alias("y")
+        )
+        sizes = t.groupBy("conv_id").count().toPandas()
+        assert sizes["count"].max() > 1024, "need a >1-chunk conversation"
+        got = (
+            expanding_rank(t, "y")
+            .select("conv_id", "turn_idx", "pct_rank_past")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        pdf = t.orderBy("conv_id", "ts", "turn_idx").toPandas()
+        exp = []
+        for conv, g in pdf.groupby("conv_id", sort=True):
+            v = g.sort_values(["ts", "turn_idx"])["y"].to_numpy()
+            for i in range(len(v)):
+                exp.append(
+                    np.nan if i == 0 else float((v[:i] < v[i]).sum()) / i
+                )
+        np.testing.assert_allclose(
+            got["pct_rank_past"].to_numpy(dtype=float), np.array(exp),
+            rtol=1e-12, equal_nan=True,
+        )
+
+
+class TestPmiBigrams:
+    def test_known_corpus(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            pmi_bigrams,
+        )
+        import math
+
+        docs = spark.createDataFrame(
+            [(i, "new york is big") for i in range(5)]
+            + [(i + 5, "big apple new day") for i in range(5)],
+            "doc_id long, text string",
+        )
+        out = pmi_bigrams(docs, "text", min_count=5, top_k=10).toPandas()
+        # corpus: 40 tokens; bigrams with count>=5: 'new york','york is',
+        # 'is big' (5 each), 'big apple','apple new','new day' (5 each)
+        n1, n2 = 40, 30
+        counts = {"new": 10, "york": 5, "is": 5, "big": 10, "apple": 5,
+                  "day": 5}
+        exp = {}
+        for bg in ["new york", "york is", "is big", "big apple",
+                   "apple new", "new day"]:
+            a, b = bg.split()
+            exp[bg] = round(
+                math.log(5) + 2 * math.log(n1) - math.log(n2)
+                - math.log(counts[a]) - math.log(counts[b]), 6)
+        got = dict(zip(out["bigram"], out["pmi"]))
+        assert got == pytest.approx(exp)
+        assert (out["c_xy"] == 5).all()
+
+    def test_min_count_prunes(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            pmi_bigrams,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a b"), (1, "a b"), (2, "c d")], "doc_id long, text string"
+        )
+        out = pmi_bigrams(docs, "text", min_count=2, top_k=10).toPandas()
+        assert list(out["bigram"]) == ["a b"]
