@@ -290,3 +290,26 @@ class TestRound4PlanShapes:
         )
         out = sft_pairs(ev)
         assert plan(out).count("Exchange hashpartitioning") == 1, plan(out)
+
+
+class TestPointInTimePlanShapes:
+    def test_zscore_and_slope_share_one_shuffle_and_sort(self, spark):
+        """expanding_zscore + trailing_slope composed on the same key/order
+        must plan ONE Exchange and ONE Sort (two Window nodes over the
+        shared clustering) — the 'one window shuffle for all features'
+        contract of the featurization layer."""
+        from featurescreening_jl_spark.operators.window_features import (
+            expanding_zscore,
+            trailing_slope,
+        )
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+        from pyspark.sql import functions as F
+
+        t = synthetic_transcripts(spark, n_conversations=5, seed=1)
+        t = t.withColumn("y", F.length("text").cast("long"))
+        p = plan(trailing_slope(expanding_zscore(t, "y"), "y", k=5))
+        assert p.count("Exchange") == 1, p
+        assert p.count("+- Sort ") == 1, p
+        assert p.count("Window") == 2, p
