@@ -1902,6 +1902,35 @@ def q_pmi_bigrams(spark, sf):
     return pmi_bigrams(docs, "text", min_count=5, top_k=50)
 
 
+def q_pq_topk(spark, sf):
+    """Product-quantized ADC top-k (operators/pq.py) with SEEDED random
+    codebooks so the oracle can rebuild the exact literals from
+    (m, ksub, dsub, seed) and replay encode + lookup-table scoring +
+    ranking end-to-end (the project_embeddings pattern). Production
+    recall uses train_pq; the machinery under test is identical."""
+    from featurescreening_jl_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        random_codebooks,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = random_codebooks(8, 16, 8, seed=17)
+    coded = pq_encode(emb, books)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk(coded, q, books, k=5)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_score", 6).alias("adc_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -1995,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trailing_slope": q_trailing_slope,
         "expanding_rank": q_expanding_rank,
         "pmi_bigrams": q_pmi_bigrams,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -4062,6 +4092,90 @@ def _jl_oracle() -> str:
     """
 
 
+def _pq_oracle() -> str:
+    """Rebuild the seeded PQ codebooks and replay unit-normalization,
+    per-subspace argmin encoding (first-max tie-break), ADC lookup
+    scoring (j-ordered fold, matching Spark's aggregate order), and
+    per-query ranking — entirely in SQL over the codebook VALUES."""
+    from featurescreening_jl_spark.operators.pq import random_codebooks
+
+    books = random_codebooks(8, 16, 8, seed=17)
+    m, ksub, dsub = books.shape
+    rows = ",\n              ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(
+            j, c, ",".join(repr(x) for x in books[j][c])
+        )
+        for j in range(m)
+        for c in range(ksub)
+    )
+    return f"""
+        WITH cb(j, c, v) AS (VALUES
+              {rows}),
+        cbh AS (
+          SELECT j, c, v,
+                 list_reduce(list_transform(v, x -> x*x),
+                             (a, b) -> a + b) / 2.0 AS h
+          FROM cb
+        ),
+        u AS (
+          SELECT vec_id,
+                 list_transform(
+                   embedding::DOUBLE[],
+                   x -> x / (CASE WHEN sqrt(list_reduce(
+                                    list_transform(embedding::DOUBLE[],
+                                                   y -> y*y),
+                                    (a, b) -> a + b)) > 0
+                                  THEN sqrt(list_reduce(
+                                    list_transform(embedding::DOUBLE[],
+                                                   y -> y*y),
+                                    (a, b) -> a + b))
+                                  ELSE 1.0 END)) AS uv
+          FROM embeddings
+        ),
+        subs AS (
+          SELECT vec_id, r.j,
+                 u.uv[r.j*{dsub}+1 : (r.j+1)*{dsub}] AS sub
+          FROM u, unnest(range(0, {m})) AS r(j)
+        ),
+        dist AS (
+          SELECT s.vec_id, s.j, cbh.c,
+                 list_dot_product(s.sub, cbh.v) - cbh.h AS adj
+          FROM subs s JOIN cbh ON cbh.j = s.j
+        ),
+        code AS (
+          SELECT vec_id, j, c AS code
+          FROM (SELECT vec_id, j, c,
+                       row_number() OVER (PARTITION BY vec_id, j
+                                          ORDER BY adj DESC, c) AS rn
+                FROM dist)
+          WHERE rn = 1
+        ),
+        qsubs AS (SELECT * FROM subs WHERE vec_id < 3),
+        part AS (
+          SELECT q.vec_id AS query_id, x.vec_id, x.j,
+                 list_dot_product(q.sub, cb.v) AS p
+          FROM code x
+          JOIN cb ON cb.j = x.j AND cb.c = x.code
+          JOIN qsubs q ON q.j = x.j
+        ),
+        score AS (
+          SELECT query_id, vec_id,
+                 list_reduce(list(p ORDER BY j), (a, b) -> a + b)
+                     AS adc_score
+          FROM part
+          GROUP BY query_id, vec_id
+        )
+        SELECT query_id, vec_id, round(adc_score, 6) AS adc_score,
+               rank::BIGINT AS rank
+        FROM (SELECT query_id, vec_id, adc_score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY adc_score DESC,
+                                                 vec_id) AS rank
+              FROM score)
+        WHERE rank <= 5
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     # the star-algorithm CC query computes the identical clustering —
@@ -4072,4 +4186,5 @@ def oracle_sql() -> dict[str, str]:
     # independent implementations agreeing is itself part of the check
     d["decayed_features_arrow"] = d["decayed_features"]
     d["project_embeddings"] = _jl_oracle()
+    d["pq_topk"] = _pq_oracle()
     return d
