@@ -1931,6 +1931,72 @@ def q_pq_topk(spark, sf):
     )
 
 
+def q_ivfpq_topk(spark, sf):
+    """Trained IVF coarse probing + PQ ADC scoring composed
+    (operators/pq.py ivfpq_topk — the FAISS IndexIVFPQ shape). Rows-only
+    oracle class: the index build is iterative k-means (same documented
+    non-SQL-expressible class as bpe_*); exact agreement with the flat
+    ADC scan at full probe and with a numpy replica is pinned in
+    tests/test_pq.py."""
+    from featurescreening_jl_spark.operators.ivf import train_centroids
+    from featurescreening_jl_spark.operators.pq import ivfpq_topk, train_pq
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = train_pq(emb, m=8, ksub=16, dim=64, seed=42)
+    cents = train_centroids(emb, 8, seed=42)
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivfpq_topk(emb, q, cents, books, k=5, n_probe=3)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("adc_score", 6).alias("adc_score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_normalize_embeddings(spark, sf):
+    """L2 normalization as a pure codegen expression
+    (functions/vector.py unit — norm struct-bound once per row), with
+    order-stable scalar digests so the oracle can demand exact doubles."""
+    from featurescreening_jl_spark.functions.vector import norm, unit
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    u = unit(F.col("e"))
+
+    def digests(uv):
+        return F.struct(
+            F.aggregate(uv, F.lit(0.0), lambda a, v: a + v).alias("s"),
+            F.array_max(F.transform(uv, lambda v: F.abs(v))).alias("mx"),
+        )
+
+    d = F.element_at(F.transform(F.array(u), digests), 1)
+    return emb.select(
+        "vec_id",
+        F.round(norm(F.col("e")), 6).alias("l2_norm"),
+        F.round(d["s"], 6).alias("unit_sum"),
+        F.round(d["mx"], 6).alias("max_abs_unit"),
+    )
+
+
+def q_woe_encode(spark, sf):
+    """Weight-of-evidence fit table over events: key=event_type,
+    label=value >= 50 (operators/feature_encoding.py woe_encode)."""
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        woe_encode,
+    )
+
+    ev = _t(spark, sf, "events").withColumn(
+        "label", (F.col("value") >= 50.0).cast("int")
+    )
+    return woe_encode(ev, "event_type", "label", smoothing=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2025,6 +2091,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expanding_rank": q_expanding_rank,
         "pmi_bigrams": q_pmi_bigrams,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "normalize_embeddings": q_normalize_embeddings,
+        "woe_encode": q_woe_encode,
     }
 
 
@@ -3967,6 +4036,58 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(p / sum(p) OVER () * 1000000 / group_size, 6)
                        AS sample_factor
             FROM sc
+        """,
+        # L2 normalization digests: same sequential folds as the Spark
+        # HOF expressions (0.0-seeded fold == first-element-seeded fold)
+        "normalize_embeddings": """
+            WITH n AS (
+              SELECT vec_id, embedding::DOUBLE[] AS e,
+                     sqrt(list_reduce(
+                       list_transform(embedding::DOUBLE[], x -> x*x),
+                       (a, b) -> a + b)) AS nrm
+              FROM embeddings
+            ),
+            u AS (
+              SELECT vec_id, nrm,
+                     list_transform(
+                       e, x -> x / (CASE WHEN nrm > 0 THEN nrm
+                                         ELSE 1.0 END)) AS uv
+              FROM n
+            )
+            SELECT vec_id,
+                   round(nrm, 6) AS l2_norm,
+                   round(list_reduce(uv, (a, b) -> a + b), 6) AS unit_sum,
+                   round(list_max(list_transform(uv, x -> abs(x))), 6)
+                       AS max_abs_unit
+            FROM u
+        """,
+        # weight-of-evidence fit: smoothed per-class shares, WOE as a
+        # sum of logs of exactly-representable (count + 0.5) doubles
+        "woe_encode": """
+            WITH lab AS (
+              SELECT event_type,
+                     CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS y
+              FROM events
+            ),
+            k AS (
+              SELECT event_type,
+                     sum(y)::BIGINT AS pos_k,
+                     sum(1 - y)::BIGINT AS neg_k
+              FROM lab GROUP BY event_type
+            ),
+            t AS (
+              SELECT sum(y)::BIGINT AS pos_t, sum(1 - y)::BIGINT AS neg_t
+              FROM lab
+            )
+            SELECT event_type, pos_k, neg_k,
+                   round(ln(pos_k + 0.5) - ln(pos_t + 1.0)
+                         - (ln(neg_k + 0.5) - ln(neg_t + 1.0)), 6) AS woe,
+                   round(((pos_k + 0.5)/(pos_t + 1.0)
+                          - (neg_k + 0.5)/(neg_t + 1.0))
+                         * (ln(pos_k + 0.5) - ln(pos_t + 1.0)
+                            - (ln(neg_k + 0.5) - ln(neg_t + 1.0))), 6)
+                       AS iv
+            FROM k CROSS JOIN t
         """,
         # expanding z-score: mean/variance of STRICTLY PRIOR text lengths
         # from exact integer window sums (bit-identical to the Spark form)

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["dot", "norm", "cosine", "double_array_literal"]
+__all__ = ["dot", "norm", "cosine", "unit", "double_array_literal"]
 
 
 def double_array_literal(values) -> Column:
@@ -49,3 +49,21 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def unit(a: Column) -> Column:
+    """Unit-normalized copy of the vector (zero vectors pass through
+    unchanged). The norm is struct-bound as a LAMBDA VARIABLE so HOF
+    eval computes it once per row — inlining ``norm(a)`` in the
+    per-element lambda would recompute the full aggregate for every
+    element (the O(len²) re-evaluation trap)."""
+
+    def scale(pair):
+        return F.transform(
+            pair["v"],
+            lambda x: x.cast("double")
+            / F.when(pair["n"] > 0, pair["n"]).otherwise(F.lit(1.0)),
+        )
+
+    bound = F.struct(a.alias("v"), norm(a).alias("n"))
+    return F.element_at(F.transform(F.array(bound), scale), 1)

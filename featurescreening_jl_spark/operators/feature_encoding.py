@@ -67,6 +67,7 @@ __all__ = [
     "decayed_time_features",
     "decayed_time_features_stable",
     "rolling_origin_folds",
+    "woe_encode",
 ]
 
 # Half-lives per renormalization segment in the stable variant. 2^±500 is
@@ -448,4 +449,55 @@ def rolling_origin_folds(
         .filter(F.col(split_col).isNotNull())
         .withColumn(fold_col, F.col("__f.__fold"))
         .drop("__f")
+    )
+
+
+def woe_encode(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoder FIT: per category, ``woe =
+    ln(p(key|pos) / p(key|neg))`` with Laplace smoothing, plus the
+    category's information-value contribution ``iv = (p(key|pos) −
+    p(key|neg)) · woe`` — the credit-scoring-standard categorical
+    encoding next to the mean encoders (``pit_target_encode`` is the
+    leakage-free per-row variant; this is the batch fit artifact whose
+    output is the bounded (key → woe) table you broadcast-join onto
+    features).
+
+    ONE map-side-combined aggregate collapses the corpus to |keys| rows;
+    the class totals are a second single-row aggregate cross-broadcast
+    in. WOE is computed as a SUM OF LOGS of exactly-representable
+    smoothed counts (counts + 0.5), so any engine replaying the formula
+    reproduces identical doubles (the same portability argument as
+    ``pmi_bigrams``) — no ratio products that could overflow or
+    re-associate.
+    """
+    y = F.col(label_col).cast("int")
+    per_key = df.groupBy(key_col).agg(
+        F.sum(y).alias("pos_k"),
+        F.sum(1 - y).alias("neg_k"),
+    )
+    totals = df.agg(
+        F.sum(y).alias("__pos"), F.sum(1 - y).alias("__neg")
+    )
+    s_ = float(smoothing)
+    p_k = F.col("pos_k") + F.lit(s_)
+    n_k = F.col("neg_k") + F.lit(s_)
+    p_t = F.col("__pos") + F.lit(2 * s_)
+    n_t = F.col("__neg") + F.lit(2 * s_)
+    woe = F.log(p_k) - F.log(p_t) - (F.log(n_k) - F.log(n_t))
+    iv = (p_k / p_t - n_k / n_t) * woe
+    return (
+        per_key.crossJoin(F.broadcast(totals))
+        .select(
+            key_col,
+            "pos_k",
+            "neg_k",
+            F.round(woe, 6).alias("woe"),
+            F.round(iv, 6).alias("iv"),
+        )
     )

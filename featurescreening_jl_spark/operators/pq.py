@@ -47,10 +47,19 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from featurescreening_jl_spark.functions.vector import double_array_literal
+from featurescreening_jl_spark.functions.vector import (
+    double_array_literal,
+    unit,
+)
 from featurescreening_jl_spark.operators.similarity import _require_dim
 
-__all__ = ["train_pq", "pq_encode", "pq_topk", "random_codebooks"]
+__all__ = [
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
+    "ivfpq_topk",
+    "random_codebooks",
+]
 
 
 def random_codebooks(
@@ -129,29 +138,6 @@ def train_pq(
     return books
 
 
-def _norm_expr(vec_col):
-    sq = F.aggregate(
-        vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
-    )
-    return F.sqrt(sq)
-
-
-def _unit_expr(vec_col):
-    """Unit-normalized copy of the vector (zero vectors pass through)."""
-
-    def scale(pair):
-        return F.transform(
-            pair["v"],
-            lambda x: x.cast("double")
-            / F.when(pair["n"] > 0, pair["n"]).otherwise(F.lit(1.0)),
-        )
-
-    bound = F.struct(vec_col.alias("v"), _norm_expr(vec_col).alias("n"))
-    # struct-bind (v, n) as a lambda variable so the norm aggregate is
-    # evaluated once per row, not once per element (HOF re-evaluation)
-    return F.element_at(F.transform(F.array(bound), scale), 1)
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -169,7 +155,7 @@ def pq_encode(
     (id, code) table; it is ~30× narrower than the float corpus.
     """
     m, ksub, dsub = codebooks.shape
-    unit = _unit_expr(F.col(vec_col))
+    uvec = unit(F.col(vec_col))
 
     def code_of(uv):
         # uv bound once; inside, one argmax per subspace over a shared
@@ -207,7 +193,7 @@ def pq_encode(
             )
         return F.array(*subcodes)
 
-    code = F.element_at(F.transform(F.array(unit), code_of), 1)
+    code = F.element_at(F.transform(F.array(uvec), code_of), 1)
     return df.withColumn(code_col, code)
 
 
@@ -233,7 +219,7 @@ def pq_topk(
     """
     m, ksub, dsub = codebooks.shape
     lit3 = double_array_literal(codebooks.tolist())
-    qunit = _unit_expr(F.col(vec_col))
+    qunit = unit(F.col(vec_col))
 
     def lut_of(uq):
         return F.transform(
@@ -277,6 +263,110 @@ def pq_topk(
     )
     return (
         scored.withColumn("adc_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_score", "rank")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "code",
+    query_id_col: str = "query_id",
+    n_probe: int = 4,
+    assigned_cell_col: str | None = None,
+) -> DataFrame:
+    """IVF + PQ composed — the FAISS ``IndexIVFPQ`` shape (coarse Voronoi
+    pruning from :mod:`ivf`, then ADC scoring over codes from this
+    module): only the ``n_probe`` probed cells' CODE rows are scored, so
+    per-query work is ``|corpus| · n_probe / n_cells`` array lookups and
+    the float corpus is never read at query time.
+
+    With ``n_probe == n_cells`` the result is IDENTICAL to
+    :func:`pq_topk` (pytest-pinned) — probing only ever removes
+    candidates, never reorders them, because both paths share the same
+    ADC score and the same (score desc, id asc) tie-break.
+
+    Pass ``assigned_cell_col`` when the corpus is already encoded AND
+    cell-assigned (the written-once index table, ideally
+    ``partitionBy(cell)`` so the probe equi-join prunes files); otherwise
+    both the cell id and the code are computed here as pure expressions.
+    """
+    from featurescreening_jl_spark.operators.ivf import (
+        _probe_cells,
+        assign_cells,
+    )
+
+    m, ksub, dsub = codebooks.shape
+    if assigned_cell_col is None:
+        assigned = assign_cells(
+            pq_encode(
+                corpus.select(id_col, vec_col),
+                codebooks,
+                vec_col=vec_col,
+                code_col=code_col,
+            ),
+            centroids,
+            vec_col=vec_col,
+        ).select(id_col, code_col, "cell")
+        cell_col = "cell"
+    else:
+        assigned = corpus.select(id_col, code_col, assigned_cell_col)
+        cell_col = assigned_cell_col
+
+    lit3 = double_array_literal(codebooks.tolist())
+    qunit = unit(F.col(vec_col))
+
+    def lut_of(uq):
+        return F.transform(
+            F.zip_with(
+                lit3,
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda book, j: F.struct(book.alias("b"), j.alias("j")),
+            ),
+            lambda bj: F.transform(
+                bj["b"],
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.slice(uq, bj["j"] * dsub + 1, dsub),
+                        c,
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+        )
+
+    q = queries.select(
+        query_id_col,
+        F.element_at(F.transform(F.array(qunit), lut_of), 1).alias("__lut"),
+        F.explode(
+            _probe_cells(F.col(vec_col), centroids, n_probe)
+        ).alias(cell_col),
+    )
+    cand = assigned.join(F.broadcast(q), on=cell_col)
+    score = F.aggregate(
+        F.zip_with(
+            F.col(code_col),
+            F.col("__lut"),
+            lambda c, t: F.element_at(t, c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("adc_score", score)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_score", "rank")

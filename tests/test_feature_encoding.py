@@ -483,3 +483,44 @@ def test_project_embeddings_preserves_distances(spark):
     iu = np.triu_indices(20, 1)
     ratio = d_lo[iu] / d_hi[iu]
     assert 0.7 < np.median(ratio) < 1.3
+
+
+class TestWoeEncode:
+    def test_matches_python_replica(self, spark):
+        import math
+
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            woe_encode,
+        )
+
+        rows = [("a", 1)] * 7 + [("a", 0)] * 3 + [("b", 1)] * 2 + [
+            ("b", 0)
+        ] * 8 + [("c", 0)] * 4  # c: zero positives — smoothing keeps finite
+        df = spark.createDataFrame(rows, "k string, y int")
+        got = {
+            r["k"]: r
+            for r in woe_encode(df, "k", "y", smoothing=0.5)
+            .collect()
+        }
+        pos_t, neg_t = 9, 15
+        for k, (p, n) in {"a": (7, 3), "b": (2, 8), "c": (0, 4)}.items():
+            woe = (
+                math.log(p + 0.5) - math.log(pos_t + 1.0)
+                - (math.log(n + 0.5) - math.log(neg_t + 1.0))
+            )
+            iv = ((p + 0.5) / (pos_t + 1.0) - (n + 0.5) / (neg_t + 1.0)) * woe
+            assert got[k]["pos_k"] == p and got[k]["neg_k"] == n
+            assert got[k]["woe"] == pytest.approx(round(woe, 6))
+            assert got[k]["iv"] == pytest.approx(round(iv, 6))
+
+    def test_monotone_in_positive_rate(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            woe_encode,
+        )
+
+        rows = [("hi", 1)] * 9 + [("hi", 0)] * 1 + [("lo", 1)] * 1 + [
+            ("lo", 0)
+        ] * 9
+        df = spark.createDataFrame(rows, "k string, y int")
+        got = {r["k"]: r["woe"] for r in woe_encode(df, "k", "y").collect()}
+        assert got["hi"] > 0 > got["lo"]

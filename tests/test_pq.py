@@ -158,3 +158,51 @@ class TestAdc:
         # the only Exchange allowed besides the query broadcast is the
         # final per-query top-k window shuffle
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestIvfPq:
+    def test_full_probe_equals_pq_topk(self, spark, emb):
+        from featurescreening_jl_spark.operators.ivf import train_centroids
+        from featurescreening_jl_spark.operators.pq import ivfpq_topk
+
+        books = train_pq(emb, m=8, ksub=16, dim=64, seed=42)
+        cents = train_centroids(emb, 8, seed=42)
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        full = ivfpq_topk(
+            emb, q, cents, books, k=10, n_probe=8
+        ).orderBy("query_id", "rank").toPandas()
+        flat = pq_topk(pq_encode(emb, books), q, books, k=10).orderBy(
+            "query_id", "rank"
+        ).toPandas()
+        assert full["vec_id"].tolist() == flat["vec_id"].tolist()
+        np.testing.assert_allclose(
+            full["adc_score"].to_numpy(), flat["adc_score"].to_numpy(),
+            rtol=1e-12,
+        )
+
+    def test_probing_prunes_candidates(self, spark, emb):
+        from featurescreening_jl_spark.operators.ivf import train_centroids
+        from featurescreening_jl_spark.operators.pq import ivfpq_topk
+
+        books = train_pq(emb, m=8, ksub=16, dim=64, seed=42)
+        cents = train_centroids(emb, 8, seed=42)
+        q = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        # probed subset result must be a subset-consistent reranking:
+        # every returned row also appears in the full-probe candidate
+        # ranking with the SAME score
+        pruned = ivfpq_topk(
+            emb, q, cents, books, k=10, n_probe=2
+        ).toPandas()
+        full = ivfpq_topk(
+            emb, q, cents, books, k=1000, n_probe=8
+        ).toPandas()
+        fmap = {
+            (r.query_id, r.vec_id): r.adc_score for r in full.itertuples()
+        }
+        for r in pruned.itertuples():
+            assert (r.query_id, r.vec_id) in fmap
+            assert abs(fmap[(r.query_id, r.vec_id)] - r.adc_score) < 1e-12
