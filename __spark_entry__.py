@@ -1997,6 +1997,21 @@ def q_woe_encode(spark, sf):
     return woe_encode(ev, "event_type", "label", smoothing=0.5)
 
 
+def q_robust_outliers(spark, sf):
+    """Median/MAD modified z-score over document lengths
+    (operators/profiling.py robust_outliers)."""
+    from featurescreening_jl_spark.operators.profiling import robust_outliers
+
+    docs = _t(spark, sf, "documents")
+    out = robust_outliers(docs, "n_chars", threshold=3.5)
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2094,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": q_ivfpq_topk,
         "normalize_embeddings": q_normalize_embeddings,
         "woe_encode": q_woe_encode,
+        "robust_outliers": q_robust_outliers,
     }
 
 
@@ -4060,6 +4076,27 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(uv, x -> abs(x))), 6)
                        AS max_abs_unit
             FROM u
+        """,
+        # median/MAD modified z-score (Iglewicz–Hoaglin); quantile_cont
+        # interpolation matches Spark's exact percentile (see
+        # length_quantiles)
+        "robust_outliers": """
+            WITH med AS (
+              SELECT quantile_cont(n_chars::DOUBLE, 0.5) AS med
+              FROM documents
+            ),
+            mad AS (
+              SELECT quantile_cont(abs(n_chars::DOUBLE - med), 0.5) AS mad
+              FROM documents CROSS JOIN med
+            )
+            SELECT doc_id, n_chars,
+                   CASE WHEN mad > 0
+                        THEN round(0.6745*(n_chars::DOUBLE - med)/mad, 6)
+                        END AS robust_z,
+                   CASE WHEN mad > 0
+                        THEN abs(0.6745*(n_chars::DOUBLE - med)/mad) > 3.5
+                        ELSE false END AS is_outlier
+            FROM documents CROSS JOIN med CROSS JOIN mad
         """,
         # weight-of-evidence fit: smoothed per-class shares, WOE as a
         # sum of logs of exactly-representable (count + 0.5) doubles

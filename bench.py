@@ -116,6 +116,15 @@ HEADLINE = [
     "dsir_weights",
     "strip_markup",
     "kmv_overlap",
+    "expanding_zscore",
+    "trailing_slope",
+    "expanding_rank",
+    "pmi_bigrams",
+    "pq_topk",
+    "ivfpq_topk",
+    "normalize_embeddings",
+    "woe_encode",
+    "robust_outliers",
 ]
 
 

@@ -35,7 +35,13 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["skew_profile", "psi_drift", "bucketize", "heavy_hitters"]
+__all__ = [
+    "skew_profile",
+    "psi_drift",
+    "bucketize",
+    "heavy_hitters",
+    "robust_outliers",
+]
 
 
 def heavy_hitters(
@@ -208,4 +214,54 @@ def psi_drift(
         F.round(
             (cur_share - ref_share) * F.log(cur_share / ref_share), 6
         ).alias("psi"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    *,
+    threshold: float = 3.5,
+    z_col: str = "robust_z",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Median/MAD outlier scoring — the Iglewicz–Hoaglin modified
+    z-score ``M = 0.6745·(x − median) / MAD`` with ``|M| > threshold``
+    (their recommended 3.5) flagging the row. The robust replacement for
+    mean/std filters in corpus QA: a handful of 100 MB documents cannot
+    drag the center the way they drag a mean.
+
+    Dataflow: two chained single-row aggregates (median, then the median
+    absolute deviation AROUND it) cross-broadcast into a map-only
+    projection — the corpus never shuffles. ``percentile`` here is the
+    exact interpolating aggregate (memory ∝ distinct values of the
+    metric — fine for bounded count/length metrics); at true 100 TB
+    swap ``approx_percentile``, the same trade documented on
+    ``length_quantiles``. MAD = 0 (over half the values identical)
+    yields NULL scores and ``false`` flags rather than ±inf.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.agg(
+        F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("__med")
+    )
+    mad = (
+        df.crossJoin(F.broadcast(med))
+        .agg(
+            F.expr(
+                f"percentile(abs(cast({value_col} as double) - __med), 0.5)"
+            ).alias("__mad")
+        )
+    )
+    z = F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad")
+    return (
+        df.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .withColumn(z_col, F.when(F.col("__mad") > 0, z))
+        .withColumn(
+            flag_col,
+            F.when(
+                F.col("__mad") > 0, F.abs(z) > F.lit(float(threshold))
+            ).otherwise(F.lit(False)),
+        )
+        .drop("__med", "__mad")
     )

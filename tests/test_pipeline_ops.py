@@ -666,3 +666,44 @@ class TestNgramJaccardIndexed:
         # non-vacuous: the collision hash really did make every cross pair
         # a phase-1 candidate, so phase 2 must have rejected (3,4) etc.
         assert len(exact) == 1 and (exact.id_a[0], exact.id_b[0]) == (1, 2)
+
+
+class TestRobustOutliers:
+    def test_matches_numpy_replica(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.profiling import (
+            robust_outliers,
+        )
+
+        vals = [10, 11, 12, 10, 11, 13, 12, 11, 500, 9]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id long, x long"
+        )
+        got = (
+            robust_outliers(df, "x")
+            .orderBy("id")
+            .select("robust_z", "is_outlier")
+            .toPandas()
+        )
+        a = np.array(vals, dtype=float)
+        med = np.median(a)
+        mad = np.median(np.abs(a - med))
+        z = 0.6745 * (a - med) / mad
+        np.testing.assert_allclose(
+            got["robust_z"].to_numpy(dtype=float), z, rtol=1e-9
+        )
+        assert got["is_outlier"].tolist() == (np.abs(z) > 3.5).tolist()
+        assert got["is_outlier"].sum() == 1  # only the 500
+
+    def test_zero_mad_yields_null_scores(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            robust_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 7) for i in range(6)] + [(6, 1000)], "id long, x long"
+        )
+        got = robust_outliers(df, "x").orderBy("id").toPandas()
+        assert got["robust_z"].isna().all()
+        assert not got["is_outlier"].any()
