@@ -1884,11 +1884,11 @@ def q_expanding_rank(spark, sf):
     t = _transcripts(spark, sf).select(
         "conv_id", "turn_idx", "ts", F.length("text").cast("long").alias("text_len")
     )
-    out = expanding_rank(t, "text_len")
+    out = expanding_rank(t, "text_len", keep_all=False)
     return out.select(
         "conv_id",
         "turn_idx",
-        "text_len",
+        F.col("text_len").cast("long").alias("text_len"),
         F.round("pct_rank_past", 6).alias("pct_rank_past"),
     )
 
@@ -2012,6 +2012,20 @@ def q_robust_outliers(spark, sf):
     )
 
 
+def q_hashed_cross(spark, sf):
+    """Hashing-trick interaction feature: event_type × (user_id mod 10)
+    into 64 buckets (operators/feature_encoding.py hashed_cross)."""
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        hashed_cross,
+    )
+
+    ev = _t(spark, sf, "events").withColumn(
+        "user_mod", (F.col("user_id") % 10).cast("string")
+    )
+    out = hashed_cross(ev, ["event_type", "user_mod"], 64)
+    return out.select("event_id", "event_type", "user_mod", "cross_bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2110,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_embeddings": q_normalize_embeddings,
         "woe_encode": q_woe_encode,
         "robust_outliers": q_robust_outliers,
+        "hashed_cross": q_hashed_cross,
     }
 
 
@@ -4076,6 +4091,19 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(uv, x -> abs(x))), 6)
                        AS max_abs_unit
             FROM u
+        """,
+        # hashing-trick cross: portable md5 60-bit hash of the \\x01-joined
+        # key (NULL token \\x00NULL), mod 64 — replayed exactly
+        "hashed_cross": """
+            SELECT event_id, event_type,
+                   (user_id % 10)::VARCHAR AS user_mod,
+                   (('0x' || substr(md5(
+                      concat_ws(chr(1),
+                        coalesce(event_type, chr(0) || 'NULL'),
+                        coalesce((user_id % 10)::VARCHAR,
+                                 chr(0) || 'NULL'))), 1, 15))::BIGINT
+                    % 64)::INT AS cross_bucket
+            FROM events
         """,
         # median/MAD modified z-score (Iglewicz–Hoaglin); quantile_cont
         # interpolation matches Spark's exact percentile (see
