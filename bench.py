@@ -125,6 +125,7 @@ HEADLINE = [
     "normalize_embeddings",
     "woe_encode",
     "robust_outliers",
+    "hashed_cross",
 ]
 
 

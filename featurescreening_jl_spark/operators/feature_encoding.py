@@ -68,6 +68,7 @@ __all__ = [
     "decayed_time_features_stable",
     "rolling_origin_folds",
     "woe_encode",
+    "hashed_cross",
 ]
 
 # Half-lives per renormalization segment in the stable variant. 2^±500 is
@@ -500,4 +501,45 @@ def woe_encode(
             F.round(woe, 6).alias("woe"),
             F.round(iv, 6).alias("iv"),
         )
+    )
+
+
+def hashed_cross(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int,
+    *,
+    out: str = "cross_bucket",
+) -> DataFrame:
+    """Hashing-trick feature cross (Weinberger et al. 2009; the
+    ``tf.feature_column.crossed_column`` shape): the interaction of
+    ``cols`` becomes ONE bounded integer feature, ``portable_hash(c1 ┆ c2
+    ┆ …) mod n_buckets`` — no vocabulary to fit, broadcast, or keep in
+    sync between training and serving, which is the point at 10^12 rows
+    where a distinct-combination dictionary would itself be a big table.
+
+    Map-only expression, zero shuffle. NULLs are encoded as a reserved
+    token (not dropped, not collided with the empty string) so missing ×
+    present combinations stay distinguishable. The md5-based portable
+    hash keeps every bucket id reproducible by external engines (the
+    DuckDB oracle replays it; xxhash64 would be faster but Spark-only —
+    swap via ``operators.dedup.hash60_portable``'s documented trade).
+    Collisions are the accepted lossy-compression trade of the hashing
+    trick; size ``n_buckets`` to the tolerated collision rate (birthday
+    bound), and prefer powers of two only for downstream embedding
+    tables, not for the mod itself.
+    """
+    from featurescreening_jl_spark.operators.dedup import hash60_portable
+
+    if not cols:
+        raise ValueError("hashed_cross: at least one column required")
+    joint = F.concat_ws(
+        "\u0001",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\u0000NULL"))
+            for c in cols
+        ],
+    )
+    return df.withColumn(
+        out, F.pmod(hash60_portable(joint), F.lit(int(n_buckets))).cast("int")
     )

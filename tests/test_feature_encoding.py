@@ -524,3 +524,47 @@ class TestWoeEncode:
         df = spark.createDataFrame(rows, "k string, y int")
         got = {r["k"]: r["woe"] for r in woe_encode(df, "k", "y").collect()}
         assert got["hi"] > 0 > got["lo"]
+
+
+class TestHashedCross:
+    def test_null_token_distinguishes_missing(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            hashed_cross,
+        )
+
+        df = spark.createDataFrame(
+            [(0, None, "NULL"), (1, "NULL", None), (2, None, None)],
+            "id long, a string, b string",
+        )
+        # with a large bucket count, (None,'NULL') and ('NULL',None) must
+        # land in different buckets — the reserved token prevents the
+        # coalesce-to-same-string collision
+        got = {
+            r["id"]: r["c"]
+            for r in hashed_cross(df, ["a", "b"], 1 << 20, out="c").collect()
+        }
+        assert got[0] != got[1]
+
+    def test_deterministic_and_bounded(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            hashed_cross,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = hashed_cross(ev, ["event_type", "user_id"], 32).select(
+            "event_id", "cross_bucket"
+        ).orderBy("event_id").toPandas()
+        b = hashed_cross(
+            ev.repartition(5), ["event_type", "user_id"], 32
+        ).select("event_id", "cross_bucket").orderBy("event_id").toPandas()
+        assert a["cross_bucket"].tolist() == b["cross_bucket"].tolist()
+        assert a["cross_bucket"].between(0, 31).all()
+
+    def test_empty_cols_raises(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            hashed_cross,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError):
+            hashed_cross(ev, [], 32)
