@@ -33,6 +33,8 @@ __all__ = [
     "streaming_session_aggregates",
     "streaming_conversation_rates",
     "streaming_turn_state_features",
+    "streaming_decayed_features",
+    "streaming_expanding_zscore",
     "streaming_dedup_turns",
 ]
 
@@ -337,5 +339,89 @@ def streaming_conversation_rates(
             "role",
             "n_turns",
             "n_active_convs",
+        )
+    )
+
+
+def streaming_expanding_zscore(
+    stream: DataFrame,
+    state_ttl_seconds: int = 7200,
+) -> DataFrame:
+    """Streaming twin of ``window_features.expanding_zscore`` over turn
+    text length: each arriving turn is scored against the mean/std of
+    every turn the conversation has streamed SO FAR (strictly prior), one
+    output row per turn, O(1) state per conversation.
+
+    The state is the same EXACT INTEGER sums the batch operator derives
+    its formula from — ``(n, Σy, Σy²)`` as int64 — so when arrival order
+    matches event-time order the streamed scores are BIT-IDENTICAL to
+    the batch operator's (no fp accumulation drift to tolerate; pinned
+    in tests/test_streaming.py). Same late-data contract as the other
+    stateful ops: within a micro-batch turns process in (ts, turn_idx)
+    order, across batches in processing order; event-time TTL evicts
+    idle conversations.
+    """
+    import numpy as np  # noqa: PLC0415 — worker-side import
+    import pandas as pd  # noqa: PLC0415
+
+    out_schema = "conv_id string, turn_idx int, text_len long, zscore double"
+    state_schema = "last_ts double, n long, s1 long, s2 long"
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_ts, n, s1, s2 = (
+            state.get if state.exists else (None, 0, 0, 0)
+        )
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "turn_idx"], kind="mergesort")
+            v = (
+                pdf["text"].fillna("").str.len().to_numpy(dtype="int64")
+            )
+            # strictly-prior exact sums at each row: state + batch prefix
+            np_ = n + np.arange(len(v), dtype="int64")
+            s1p = s1 + np.cumsum(v) - v
+            s2p = s2 + np.cumsum(v * v) - v * v
+            var_num = (np_ * s2p - s1p * s1p).astype("float64")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                mean = s1p.astype("float64") / np_.astype("float64")
+                z = (v.astype("float64") - mean) / np.sqrt(
+                    var_num / (np_ * (np_ - 1)).astype("float64")
+                )
+            z = np.where((np_ >= 2) & (var_num > 0), z, np.nan)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "text_len": v,
+                    "zscore": z,
+                }
+            )
+            n = int(np_[-1] + 1)
+            s1 = int(s1p[-1] + v[-1])
+            s2 = int(s2p[-1] + v[-1] * v[-1])
+            last_ts = float(pdf["ts"].astype("int64").iloc[-1] / 1e9)
+        state.update((last_ts, n, s1, s2))
+        if last_ts is not None:
+            state.setTimeoutTimestamp(
+                max(
+                    int((last_ts + state_ttl_seconds) * 1000),
+                    state.getCurrentWatermarkMs() + 1000,
+                )
+            )
+
+    return (
+        stream.select("conv_id", "turn_idx", "ts", "text")
+        .withWatermark("ts", f"{state_ttl_seconds} seconds")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf="EventTimeTimeout",
         )
     )

@@ -391,3 +391,107 @@ class TestStreamingDecayedFeatures:
             want[["dec_turns", "dec_chars"]].to_numpy(),
             atol=1e-6,
         )
+
+
+class TestStreamingExpandingZscore:
+    def test_bit_identical_to_batch(self, spark, transcript_dir):
+        # integer-sum state ⇒ EXACT equality with the batch operator (no
+        # allclose tolerance needed), arrival order == event-time order
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.window_features import (
+            expanding_zscore,
+        )
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_expanding_zscore,
+        )
+
+        stream = read_transcript_stream(spark, transcript_dir)
+        got = (
+            _run_stream(
+                spark,
+                streaming_expanding_zscore(stream, state_ttl_seconds=10**7),
+                "append",
+                "zscore_stream",
+            )
+            .toPandas()
+            .set_index(["conv_id", "turn_idx"])
+            .sort_index()
+        )
+        batch_df = spark.read.parquet(transcript_dir).withColumn(
+            "text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        )
+        want = (
+            expanding_zscore(batch_df, "text_len")
+            .select("conv_id", "turn_idx", "zscore")
+            .toPandas()
+            .set_index(["conv_id", "turn_idx"])
+            .sort_index()
+        )
+        assert len(got) == len(want) and len(got) > 0
+        g = got["zscore"].to_numpy(dtype=float)
+        w = want["zscore"].to_numpy(dtype=float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+    def test_state_carries_across_micro_batches(self, spark, tmp_path):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.window_features import (
+            expanding_zscore,
+        )
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_expanding_zscore,
+        )
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "out")
+        full = synthetic_transcripts(spark, 12, seed=23, heavy_every=0)
+        full.cache()
+        full.where(F.col("turn_idx") < 5).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+        def run():
+            stream = read_transcript_stream(spark, src)
+            q = (
+                streaming_expanding_zscore(stream, state_ttl_seconds=10**7)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+
+        run()
+        full.where(F.col("turn_idx") >= 5).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        run()
+        got = (
+            spark.read.parquet(out_dir)
+            .toPandas()
+            .set_index(["conv_id", "turn_idx"])
+            .sort_index()
+        )
+        batch_df = spark.read.parquet(src).withColumn(
+            "text_len", F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        )
+        want = (
+            expanding_zscore(batch_df, "text_len")
+            .select("conv_id", "turn_idx", "zscore")
+            .toPandas()
+            .set_index(["conv_id", "turn_idx"])
+            .sort_index()
+        )
+        assert len(got) == len(want) and len(got) > 0
+        g = got["zscore"].to_numpy(dtype=float)
+        w = want["zscore"].to_numpy(dtype=float)
+        assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
