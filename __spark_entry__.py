@@ -2026,6 +2026,22 @@ def q_hashed_cross(spark, sf):
     return out.select("event_id", "event_type", "user_mod", "cross_bucket")
 
 
+def q_robust_outliers_by(spark, sf):
+    """Group-wise median/MAD outliers: each language judged against its
+    own center (operators/profiling.py robust_outliers(by=...))."""
+    from featurescreening_jl_spark.operators.profiling import robust_outliers
+
+    docs = _t(spark, sf, "documents")
+    out = robust_outliers(docs, "n_chars", by="lang", threshold=3.5)
+    return out.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.round("robust_z", 6).alias("robust_z"),
+        "is_outlier",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2124,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_embeddings": q_normalize_embeddings,
         "woe_encode": q_woe_encode,
         "robust_outliers": q_robust_outliers,
+        "robust_outliers_by": q_robust_outliers_by,
         "hashed_cross": q_hashed_cross,
     }
 
@@ -4125,6 +4142,30 @@ def _oracle_sql_base() -> dict[str, str]:
                         THEN abs(0.6745*(n_chars::DOUBLE - med)/mad) > 3.5
                         ELSE false END AS is_outlier
             FROM documents CROSS JOIN med CROSS JOIN mad
+        """,
+        # group-wise median/MAD via window percentiles (same
+        # interpolation parity as the global form)
+        "robust_outliers_by": """
+            WITH m AS (
+              SELECT doc_id, lang, n_chars,
+                     quantile_cont(n_chars::DOUBLE, 0.5)
+                         OVER (PARTITION BY lang) AS med
+              FROM documents
+            ),
+            m2 AS (
+              SELECT *,
+                     quantile_cont(abs(n_chars::DOUBLE - med), 0.5)
+                         OVER (PARTITION BY lang) AS mad
+              FROM m
+            )
+            SELECT doc_id, lang, n_chars,
+                   CASE WHEN mad > 0
+                        THEN round(0.6745*(n_chars::DOUBLE - med)/mad, 6)
+                        END AS robust_z,
+                   CASE WHEN mad > 0
+                        THEN abs(0.6745*(n_chars::DOUBLE - med)/mad) > 3.5
+                        ELSE false END AS is_outlier
+            FROM m2
         """,
         # weight-of-evidence fit: smoothed per-class shares, WOE as a
         # sum of logs of exactly-representable (count + 0.5) doubles

@@ -126,6 +126,7 @@ HEADLINE = [
     "woe_encode",
     "robust_outliers",
     "hashed_cross",
+    "robust_outliers_by",
 ]
 
 

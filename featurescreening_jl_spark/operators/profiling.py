@@ -221,6 +221,7 @@ def robust_outliers(
     df: DataFrame,
     value_col: str,
     *,
+    by: str | None = None,
     threshold: float = 3.5,
     z_col: str = "robust_z",
     flag_col: str = "is_outlier",
@@ -239,8 +240,34 @@ def robust_outliers(
     swap ``approx_percentile``, the same trade documented on
     ``length_quantiles``. MAD = 0 (over half the values identical)
     yields NULL scores and ``false`` flags rather than ±inf.
+
+    ``by`` scores each group against ITS OWN median/MAD — per-language
+    length outliers, not global ones (a long German doc is normal; the
+    same length in tweets is not). Grouped form: two chained percentile
+    WINDOW aggregates over the same partitioning — ONE shuffle on
+    ``by``, two Window nodes, still no join.
     """
     v = F.col(value_col).cast("double")
+    if by is not None:
+        w = Window.partitionBy(by)
+        d1 = df.withColumn(
+            "__med", F.percentile(v, F.lit(0.5)).over(w)
+        )
+        d2 = d1.withColumn(
+            "__mad",
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)).over(w),
+        )
+        z = F.lit(0.6745) * (v - F.col("__med")) / F.col("__mad")
+        return (
+            d2.withColumn(z_col, F.when(F.col("__mad") > 0, z))
+            .withColumn(
+                flag_col,
+                F.when(
+                    F.col("__mad") > 0, F.abs(z) > F.lit(float(threshold))
+                ).otherwise(F.lit(False)),
+            )
+            .drop("__med", "__mad")
+        )
     med = df.agg(
         F.expr(f"percentile(cast({value_col} as double), 0.5)").alias("__med")
     )

@@ -707,3 +707,48 @@ class TestRobustOutliers:
         got = robust_outliers(df, "x").orderBy("id").toPandas()
         assert got["robust_z"].isna().all()
         assert not got["is_outlier"].any()
+
+    def test_grouped_matches_per_group_replica(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.profiling import (
+            robust_outliers,
+        )
+
+        rows = (
+            [(i, "a", v) for i, v in enumerate([10, 11, 12, 10, 200])]
+            + [(i + 5, "b", v) for i, v in enumerate([50, 55, 52, 51, 53])]
+        )
+        df = spark.createDataFrame(rows, "id long, g string, x long")
+        got = (
+            robust_outliers(df, "x", by="g")
+            .orderBy("id")
+            .toPandas()
+        )
+        for g in ("a", "b"):
+            sub = got[got.g == g]
+            a = sub["x"].to_numpy(dtype=float)
+            med = np.median(a)
+            mad = np.median(np.abs(a - med))
+            z = 0.6745 * (a - med) / mad
+            np.testing.assert_allclose(
+                sub["robust_z"].to_numpy(dtype=float), z, rtol=1e-9
+            )
+        # the 200 is an outlier within group a; nothing in b is
+        assert got[got.g == "a"]["is_outlier"].sum() == 1
+        assert got[got.g == "b"]["is_outlier"].sum() == 0
+
+    def test_grouped_plan_single_shuffle(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            robust_outliers,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            robust_outliers(docs, "n_chars", by="lang")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1, plan
+        assert "Join" not in plan, plan
