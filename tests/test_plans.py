@@ -313,3 +313,41 @@ class TestPointInTimePlanShapes:
         assert p.count("Exchange") == 1, p
         assert p.count("+- Sort ") == 1, p
         assert p.count("Window") == 2, p
+
+
+class TestUnitAndPqBindingPlanShape:
+    def test_unit_norm_evaluated_once(self, spark):
+        """unit()'s norm aggregate must stay struct-bound: inlining it
+        into the per-element scale lambda re-computes the full
+        sum-of-squares fold for EVERY element (O(dim²) per row)."""
+        from featurescreening_jl_spark.functions.vector import unit
+
+        emb = spark.createDataFrame(
+            [(1, [3.0, 4.0])], ["id", "embedding"]
+        )
+        u = emb.select("id", unit(F.col("embedding")).alias("u"))
+        txt = optimized(u)
+        assert txt.count("aggregate(") == 1, txt
+
+    def test_pq_encode_one_codebook_walk(self, spark):
+        """pq_encode must plan ONE fused walk over the 3-D codebook
+        literal — the unrolled per-subspace form (m separate argmin
+        subtrees) multiplied plan-analysis + JIT cost ~m×."""
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.pq import (
+            pq_encode,
+            random_codebooks,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [float(i) for i in range(8)])], ["id", "embedding"]
+        )
+        books = random_codebooks(2, 4, 4, seed=17)
+        txt = optimized(pq_encode(emb, books))
+        # one argmax (array_position/array_max pair) inside the fused
+        # per-subspace lambda — the unrolled regression shows m of each
+        assert txt.count("array_position") == 1, txt
+        assert txt.count("array_max") == 1, txt
+        # the unit norm is still bound once
+        assert txt.count("SQRT") == 1, txt
