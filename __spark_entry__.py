@@ -2042,6 +2042,37 @@ def q_robust_outliers_by(spark, sf):
     )
 
 
+def q_forward_label(spark, sf):
+    """Time-horizon label: tool call within (ts, ts+600s] of the same
+    conversation (operators/window_features.py forward_label) — the
+    audited forward boundary paired with the leakage-free features."""
+    from featurescreening_jl_spark.operators.window_features import (
+        forward_label,
+    )
+
+    t = _transcripts(spark, sf)
+    out = forward_label(t, F.col("tool").isNotNull(), horizon_s=600)
+    return out.select("conv_id", "turn_idx", "label")
+
+
+def q_session_stats(spark, sf):
+    """Per-(conversation, session) rollup (operators/window_features.py
+    session_stats): counts, bounds, duration."""
+    from featurescreening_jl_spark.operators.window_features import (
+        session_stats,
+    )
+
+    return session_stats(_transcripts(spark, sf), gap_seconds=1800).select(
+        "conv_id",
+        "session_id",
+        "n_turns",
+        "n_tool_calls",
+        "start_epoch",
+        "end_epoch",
+        "duration_sec",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2142,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers": q_robust_outliers,
         "robust_outliers_by": q_robust_outliers_by,
         "hashed_cross": q_hashed_cross,
+        "forward_label": q_forward_label,
+        "session_stats": q_session_stats,
     }
 
 
@@ -4108,6 +4141,55 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(uv, x -> abs(x))), 6)
                        AS max_abs_unit
             FROM u
+        """,
+        # forward event-time label: strictly-after-now lower bound
+        # (1 µs FOLLOWING), inclusive horizon upper bound
+        "forward_label": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            e AS (
+              SELECT conv_id, turn_idx,
+                     CASE WHEN tool IS NOT NULL THEN 1.0 ELSE 0.0 END AS ev,
+                     epoch_us(ts) AS em
+              FROM t
+            )
+            SELECT conv_id, turn_idx,
+                   coalesce(max(ev) OVER (
+                       PARTITION BY conv_id ORDER BY em
+                       RANGE BETWEEN 1 FOLLOWING
+                                 AND 600000000 FOLLOWING), 0.0) AS label
+            FROM e
+        """,
+        # per-(conv, session) rollup over the replayed gap sessionization
+        "session_stats": f"""
+            WITH t AS ({_TRANSCRIPTS_SQL}),
+            s AS (
+              SELECT conv_id, turn_idx, tool, ts,
+                     floor(epoch(ts))::BIGINT AS es,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                          THEN 1 ELSE 0 END AS new_s
+              FROM t
+              WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+            ),
+            s2 AS (
+              SELECT *,
+                     (sum(new_s) OVER (PARTITION BY conv_id
+                                       ORDER BY ts, turn_idx
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                      - 1)::BIGINT AS session_id
+              FROM s
+            )
+            SELECT conv_id, session_id,
+                   count(*)::BIGINT AS n_turns,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tool_calls,
+                   min(es) AS start_epoch,
+                   max(es) AS end_epoch,
+                   max(es) - min(es) AS duration_sec
+            FROM s2
+            GROUP BY conv_id, session_id
         """,
         # hashing-trick cross: portable md5 60-bit hash of the \\x01-joined
         # key (NULL token \\x00NULL), mod 64 — replayed exactly

@@ -127,6 +127,8 @@ HEADLINE = [
     "robust_outliers",
     "hashed_cross",
     "robust_outliers_by",
+    "forward_label",
+    "session_stats",
 ]
 
 

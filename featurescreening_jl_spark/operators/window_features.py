@@ -37,6 +37,8 @@ __all__ = [
     "expanding_zscore",
     "trailing_slope",
     "expanding_rank",
+    "forward_label",
+    "session_stats",
 ]
 
 
@@ -579,4 +581,74 @@ def session_funnel(
         )
     return totals.select(F.explode(F.array(*entries)).alias("__e")).select(
         "__e.stage_idx", "__e.stage", "__e.n_sessions", "__e.conversion"
+    )
+
+
+def forward_label(
+    df: DataFrame,
+    event: "F.Column | str",
+    horizon_s: int,
+    by: str = "conv_id",
+    ts_col: str = "ts",
+    out: str = "label",
+) -> DataFrame:
+    """FUTURE-window label generator: does ``event`` (a boolean column or
+    expression) occur within ``(ts, ts + horizon_s]`` of the key — e.g.
+    "will this conversation use a tool in the next 10 minutes". The
+    forward-looking counterpart to the leakage-free features: FEATURES
+    must end at now, LABELS must start strictly after it, and putting
+    both boundaries in one audited operator is what keeps a training set
+    honest (a label window that includes `now` silently teaches the
+    model to read the present).
+
+    Strictness details: the frame starts 1 microsecond after the current
+    row, so same-timestamp peers are EXCLUDED from the label (a
+    same-instant sibling event is 'now', not 'future' — the mirror of
+    ``trailing_time_window(include_current=False)``); the upper bound is
+    inclusive at exactly ``ts + horizon_s``. Rows with no event in the
+    window get 0.0, including conversation tails (max over an empty
+    frame is null → coalesce).
+
+    One event-time range window over the shared ``by`` clustering — the
+    same single shuffle every other per-conversation feature rides.
+    """
+    ev = F.col(event) if isinstance(event, str) else event
+    w = (
+        Window.partitionBy(by)
+        .orderBy(epoch_micros(F.col(ts_col)))
+        .rangeBetween(1, horizon_s * 1_000_000)
+    )
+    return df.withColumn(
+        out,
+        F.coalesce(F.max(ev.cast("double")).over(w), F.lit(0.0)),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    by: str = "conv_id",
+    ts_col: str = "ts",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+) -> DataFrame:
+    """One row per (conversation, session): turn count, tool-call count,
+    start/end epoch seconds, duration — the session-level rollup between
+    per-turn features and ``conversation_aggregates``.
+
+    Sessionization shares the canonical window shuffle; the rollup is a
+    hash aggregate with map-side partials on (by, session_id) — bounded
+    output, no second sort.
+    """
+    sess = sessionize(
+        df, gap_seconds=gap_seconds, by=by, ts_col=ts_col, order=order
+    )
+    es = epoch_seconds(F.col(ts_col))
+    return sess.groupBy(by, "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(F.col("tool").isNotNull(), 1).otherwise(0)
+        ).alias("n_tool_calls"),
+        F.min(es).alias("start_epoch"),
+        F.max(es).alias("end_epoch"),
+        (F.max(es) - F.min(es)).alias("duration_sec"),
     )

@@ -544,3 +544,107 @@ class TestPmiBigrams:
         )
         out = pmi_bigrams(docs, "text", min_count=2, top_k=10).toPandas()
         assert list(out["bigram"]) == ["a b"]
+
+
+class TestForwardLabel:
+    def test_strict_lower_and_inclusive_upper_bound(self, spark):
+        import datetime
+
+        from featurescreening_jl_spark.operators.window_features import (
+            forward_label,
+        )
+
+        base = datetime.datetime(2025, 1, 1)
+
+        def row(i, sec, tool):
+            return ("c", i, base + datetime.timedelta(seconds=sec), tool)
+
+        # events at t=0 (tool), t=0 sibling (no tool), t=600 (tool),
+        # t=1201 (tool)
+        df = spark.createDataFrame(
+            [
+                row(0, 0, "bash"),
+                row(1, 0, None),
+                row(2, 600, "sql"),
+                row(3, 1201, "bash"),
+            ],
+            "conv_id string, turn_idx int, ts timestamp, tool string",
+        )
+        got = {
+            r["turn_idx"]: r["label"]
+            for r in forward_label(
+                df, F.col("tool").isNotNull(), horizon_s=600
+            ).collect()
+        }
+        # turn 0: same-instant sibling excluded; t=600 is EXACTLY the
+        # inclusive horizon → 1.0
+        assert got[0] == 1.0
+        # turn 1 (t=0): tool at t=600 inside (0, 600] → 1.0
+        assert got[1] == 1.0
+        # turn 2 (t=600): next tool at 1201 is outside (600, 1200] → 0.0
+        assert got[2] == 0.0
+        # turn 3: conversation tail, empty frame → 0.0 not null
+        assert got[3] == 0.0
+
+    def test_matches_bruteforce_on_transcripts(self, spark, transcripts):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.window_features import (
+            forward_label,
+        )
+
+        got = (
+            forward_label(
+                transcripts, F.col("tool").isNotNull(), horizon_s=300
+            )
+            .select("conv_id", "turn_idx", "label")
+            .orderBy("conv_id", "turn_idx")
+            .toPandas()
+        )
+        pdf = transcripts.select(
+            "conv_id", "turn_idx", "ts", "tool"
+        ).orderBy("conv_id", "turn_idx").toPandas()
+        exp = []
+        for conv, g in pdf.groupby("conv_id", sort=True):
+            t = g["ts"].astype("int64").to_numpy() // 1000  # micros
+            ev = g["tool"].notna().to_numpy()
+            for i in range(len(g)):
+                win = (t > t[i]) & (t <= t[i] + 300 * 1_000_000)
+                exp.append(1.0 if ev[win].any() else 0.0)
+        np.testing.assert_array_equal(
+            got["label"].to_numpy(dtype=float), np.array(exp)
+        )
+
+
+class TestSessionStats:
+    def test_consistent_with_conversation_aggregates(self, spark, transcripts):
+        from featurescreening_jl_spark.operators.window_features import (
+            conversation_aggregates,
+            session_stats,
+        )
+
+        ss = session_stats(transcripts)
+        per_conv = ss.groupBy("conv_id").agg(
+            F.sum("n_turns").alias("n_turns"),
+            F.sum("n_tool_calls").alias("n_tool_calls"),
+            F.count("*").alias("n_sessions"),
+        )
+        ca = conversation_aggregates(transcripts).select(
+            "conv_id", "n_turns", "n_tool_calls", "n_sessions"
+        )
+        diff = per_conv.join(ca, "conv_id").where(
+            (per_conv["n_turns"] != ca["n_turns"])
+            | (per_conv["n_tool_calls"] != ca["n_tool_calls"])
+            | (per_conv["n_sessions"] != ca["n_sessions"])
+        )
+        assert diff.count() == 0
+
+    def test_durations_nonnegative_and_bounded(self, spark, transcripts):
+        from featurescreening_jl_spark.operators.window_features import (
+            session_stats,
+        )
+
+        pdf = session_stats(transcripts, gap_seconds=1800).toPandas()
+        assert (pdf["duration_sec"] >= 0).all()
+        assert (pdf["end_epoch"] >= pdf["start_epoch"]).all()
+        assert (pdf["n_turns"] >= 1).all()
