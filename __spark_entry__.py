@@ -2073,6 +2073,17 @@ def q_session_stats(spark, sf):
     )
 
 
+def q_hash_negatives(spark, sf):
+    """Deterministic contrastive negative pairs over embeddings
+    (operators/sampling.py hash_negatives): k=4 slots, 256 buckets."""
+    from featurescreening_jl_spark.operators.sampling import hash_negatives
+
+    emb = _t(spark, sf, "embeddings")
+    return hash_negatives(emb, "vec_id", k=4, n_buckets=256).select(
+        "vec_id", F.col("slot").cast("int").alias("slot"), "neg_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2175,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_cross": q_hashed_cross,
         "forward_label": q_forward_label,
         "session_stats": q_session_stats,
+        "hash_negatives": q_hash_negatives,
     }
 
 
@@ -4141,6 +4153,36 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(list_max(list_transform(uv, x -> abs(x))), 6)
                        AS max_abs_unit
             FROM u
+        """,
+        # hash-derived negative pairs: bucket election (min r-hash, id
+        # tie-break) + anchor×slot target buckets, all portable md5
+        "hash_negatives": """
+            WITH rh AS (
+              SELECT vec_id,
+                     ('0x' || substr(md5('b:' || vec_id::VARCHAR), 1, 15))
+                         ::BIGINT % 256 AS b,
+                     ('0x' || substr(md5('r:' || vec_id::VARCHAR), 1, 15))
+                         ::BIGINT AS rhash
+              FROM embeddings
+            ),
+            reps AS (
+              SELECT b, vec_id AS neg_id
+              FROM (SELECT b, vec_id,
+                           row_number() OVER (PARTITION BY b
+                                              ORDER BY rhash, vec_id) AS rn
+                    FROM rh)
+              WHERE rn = 1
+            ),
+            ex AS (
+              SELECT vec_id, r.j,
+                     ('0x' || substr(md5('n:' || vec_id::VARCHAR || ':'
+                                         || r.j::VARCHAR), 1, 15))
+                         ::BIGINT % 256 AS tb
+              FROM embeddings, unnest(range(0, 4)) AS r(j)
+            )
+            SELECT e.vec_id, e.j::INT AS slot, reps.neg_id
+            FROM ex e JOIN reps ON reps.b = e.tb
+            WHERE reps.neg_id <> e.vec_id
         """,
         # forward event-time label: strictly-after-now lower bound
         # (1 µs FOLLOWING), inclusive horizon upper bound

@@ -129,6 +129,7 @@ HEADLINE = [
     "robust_outliers_by",
     "forward_label",
     "session_stats",
+    "hash_negatives",
 ]
 
 

@@ -52,6 +52,7 @@ __all__ = [
     "weighted_reservoir",
     "token_budget_mix",
     "temperature_weights",
+    "hash_negatives",
 ]
 
 # 2^60 — hash60_portable's range; division lands in [0, 1).
@@ -345,3 +346,74 @@ def temperature_weights(
         ),
     )
     return out
+
+
+def hash_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    *,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / retrieval
+    training pairs: each anchor gets ``k`` pseudo-random negatives drawn
+    by hashing, with NO RNG state — re-runs, resumes, and other engines
+    (the DuckDB oracle) reproduce the exact same pairs.
+
+    Scale shape — deliberately NOT "hash mod N over a global row index"
+    (a dense index needs a global sort/zipWithIndex): rows hash into
+    ``n_buckets`` buckets, each bucket elects one deterministic
+    representative (min portable-hash, id tie-break), and anchor × slot
+    hashes pick a TARGET bucket whose representative is the negative.
+    The representative table is ``n_buckets`` rows — broadcast — so the
+    whole operator is one bounded aggregate + one broadcast join + a
+    map-side explode of k slots per anchor; the corpus never shuffles.
+    Self-pairs are filtered (an anchor can hash to its own bucket), two
+    slots may land in one bucket (draws WITH replacement, the standard
+    contract), and a slot targeting an EMPTY bucket yields no row — so
+    per-anchor negatives are ≤ k, not exactly k. Size ``n_buckets`` ≫ k
+    for draw diversity yet small enough that every bucket is occupied
+    (corpus ≫ n_buckets — trivially true at scale) and the
+    representative table broadcasts.
+
+    Output: ``(id_col, slot, neg_id)``.
+    """
+    from featurescreening_jl_spark.operators.dedup import hash60_portable
+
+    if k < 1:
+        raise ValueError("hash_negatives: k must be >= 1")
+    sid = F.col(id_col).cast("string")
+    bucket = F.pmod(
+        hash60_portable(F.concat(F.lit("b:"), sid)), F.lit(int(n_buckets))
+    )
+    rep_hash = hash60_portable(F.concat(F.lit("r:"), sid))
+    reps = (
+        df.select(F.col(id_col), bucket.alias("__b"), rep_hash.alias("__rh"))
+        .groupBy("__b")
+        .agg(
+            F.min(F.struct(F.col("__rh"), F.col(id_col).alias("__id")))[
+                "__id"
+            ].alias("neg_id")
+        )
+    )
+    anchors = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    ).withColumn(
+        "__tb",
+        F.pmod(
+            hash60_portable(
+                F.concat(
+                    F.lit("n:"), sid, F.lit(":"), F.col("slot").cast("string")
+                )
+            ),
+            F.lit(int(n_buckets)),
+        ),
+    )
+    return (
+        anchors.join(
+            F.broadcast(reps), anchors["__tb"] == reps["__b"]
+        )
+        .where(F.col("neg_id") != F.col(id_col))
+        .select(id_col, "slot", "neg_id")
+    )

@@ -349,3 +349,43 @@ class TestTemperatureWeights:
         df = spark.createDataFrame([("a", 1)], "g string, n long")
         with _pytest.raises(ValueError):
             temperature_weights(df, group_col="g", size_col="n", tau=-0.1)
+
+
+class TestHashNegatives:
+    def test_deterministic_and_partition_invariant(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            hash_negatives,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = hash_negatives(emb, "vec_id", k=3, n_buckets=64).orderBy(
+            "vec_id", "slot"
+        ).toPandas()
+        b = hash_negatives(
+            emb.repartition(7), "vec_id", k=3, n_buckets=64
+        ).orderBy("vec_id", "slot").toPandas()
+        assert a.equals(b)
+        assert len(a) > 0
+
+    def test_no_self_pairs_and_bounded_slots(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            hash_negatives,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = hash_negatives(emb, "vec_id", k=4, n_buckets=64).toPandas()
+        assert (out["vec_id"] != out["neg_id"]).all()
+        assert out["slot"].between(0, 3).all()
+        # ≤ k negatives per anchor (empty target buckets drop rows)
+        assert out.groupby("vec_id").size().max() <= 4
+
+    def test_k_validation(self, spark):
+        import pytest as _pytest
+
+        from featurescreening_jl_spark.operators.sampling import (
+            hash_negatives,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with _pytest.raises(ValueError):
+            hash_negatives(emb, "vec_id", k=0)
