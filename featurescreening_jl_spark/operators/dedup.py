@@ -36,6 +36,7 @@ __all__ = [
     "ngram_jaccard_pairs_indexed",
     "keep_best_per_cluster",
     "minhash_lsh_pairs_incremental",
+    "lsh_params",
 ]
 
 
@@ -787,3 +788,48 @@ def keep_best_per_cluster(
             F.col("__best")[score_col].alias(score_col),
         )
     )
+
+
+def lsh_params(
+    threshold: float,
+    num_hashes: int,
+    *,
+    fn_weight: float = 1.0,
+    fp_weight: float = 1.0,
+) -> tuple[int, int]:
+    """Pick the (bands, rows_per_band) factorization of ``num_hashes``
+    whose banding S-curve ``P(s) = 1 − (1 − s^r)^b`` best matches a
+    target Jaccard ``threshold`` — the datasketch/MMDS-standard tuner
+    for ``minhash_lsh_pairs``'s ``bands`` knob.
+
+    Minimizes ``fp_weight·∫₀ᵗ P(s) ds + fn_weight·∫ₜ¹ (1 − P(s)) ds``
+    (false-positive mass below the threshold + false-negative mass
+    above it) by numerical integration over every divisor pair
+    ``b·r = num_hashes``. Weight false negatives higher when a
+    downstream exact verifier (``ngram_jaccard_pairs_indexed``) catches
+    FPs anyway — recall is then the only irreversible loss.
+
+    Driver-side arithmetic only (microseconds); returns ``(bands,
+    rows_per_band)``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("lsh_params: threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("lsh_params: num_hashes must be >= 2")
+    best = None
+    xs = [i / 1000.0 for i in range(1001)]
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        fp = fn = 0.0
+        for x in xs:
+            p = 1.0 - (1.0 - x**r) ** b
+            if x < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        err = (fp * fp_weight + fn * fn_weight) / len(xs)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -752,3 +752,37 @@ class TestRobustOutliers:
         )
         assert plan.count("Exchange") == 1, plan
         assert "Join" not in plan, plan
+
+
+class TestLshParams:
+    def test_factorization_and_implied_threshold(self):
+        from featurescreening_jl_spark.operators.dedup import lsh_params
+
+        for t in (0.3, 0.5, 0.8, 0.9):
+            for n in (64, 128, 256):
+                b, r = lsh_params(t, n)
+                assert b * r == n
+                # the S-curve midpoint (1/b)^(1/r) should land near t
+                implied = (1.0 / b) ** (1.0 / r)
+                assert abs(implied - t) < 0.2, (t, n, b, r, implied)
+
+    def test_fn_weighting_raises_recall(self):
+        from featurescreening_jl_spark.operators.dedup import lsh_params
+
+        b_bal, r_bal = lsh_params(0.8, 128)
+        b_rec, r_rec = lsh_params(0.8, 128, fn_weight=10.0)
+        # recall-weighted tuning must not use FEWER bands (more bands =
+        # higher collision probability at any similarity)
+        assert b_rec >= b_bal
+        # and the implied threshold shifts down (catch more pairs)
+        assert (1 / b_rec) ** (1 / r_rec) <= (1 / b_bal) ** (1 / r_bal)
+
+    def test_validation(self):
+        import pytest as _pytest
+
+        from featurescreening_jl_spark.operators.dedup import lsh_params
+
+        with _pytest.raises(ValueError):
+            lsh_params(0.0, 128)
+        with _pytest.raises(ValueError):
+            lsh_params(0.5, 1)
