@@ -2084,6 +2084,23 @@ def q_hash_negatives(spark, sf):
     )
 
 
+def q_substring_spans(spark, sf):
+    """Per-doc duplicated-span stats from corpus-wide repeated character
+    20-grams (operators/substring_spans.py — Lee et al. 2022 span-level
+    dedup, k-gram-hash formulation)."""
+    from featurescreening_jl_spark.operators.substring_spans import (
+        duplicated_spans,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return duplicated_spans(docs, k=20).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("dup_chars").cast("long").alias("dup_chars"),
+        "dup_fraction",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2187,6 +2204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forward_label": q_forward_label,
         "session_stats": q_session_stats,
         "hash_negatives": q_hash_negatives,
+        "substring_spans": q_substring_spans,
     }
 
 
@@ -4538,4 +4556,36 @@ def oracle_sql() -> dict[str, str]:
     d["decayed_features_arrow"] = d["decayed_features"]
     d["project_embeddings"] = _jl_oracle()
     d["pq_topk"] = _pq_oracle()
+    # span-level exact substring dedup: the oracle replays the k-gram
+    # formulation with the gram STRING as the key (Spark uses xxhash64 —
+    # a collision could only ADD rows, and the check would catch it)
+    d["substring_spans"] = """
+        WITH grams AS (
+          SELECT d.doc_id, p.pos, substr(d.text, p.pos::INT, 20) AS g
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1, length(d.text) - 18)) AS pos) p
+          WHERE length(d.text) >= 20
+        ),
+        counted AS (
+          SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS c FROM grams
+        ),
+        cand AS (SELECT doc_id, pos FROM counted WHERE c >= 2),
+        spans AS (
+          SELECT doc_id,
+                 least(20, pos - coalesce(
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                     pos - 20)) AS contrib
+          FROM cand
+        ),
+        dups AS (
+          SELECT doc_id, sum(contrib)::BIGINT AS dup_chars
+          FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               length(d.text)::BIGINT AS n_chars,
+               coalesce(u.dup_chars, 0)::BIGINT AS dup_chars,
+               round(coalesce(u.dup_chars, 0)
+                     / greatest(length(d.text), 1), 6) AS dup_fraction
+        FROM documents d LEFT JOIN dups u USING (doc_id)
+    """
     return d
