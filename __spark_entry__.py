@@ -2101,6 +2101,35 @@ def q_substring_spans(spark, sf):
     )
 
 
+_SCREEN_STAT_FEATS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_chi2_ranking(spark, sf):
+    """Filter-method feature screening: chi-square + mutual information of
+    each numeric feature vs the categorical label, over 8 equi-width bins
+    (operators/screening_stats.py — the one-scan companion to the
+    reference's embedded RF criterion, src/importance.jl:42-94)."""
+    from featurescreening_jl_spark.operators.screening_stats import (
+        chi2_mi_ranking,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return chi2_mi_ranking(li, _SCREEN_STAT_FEATS, "l_returnflag", n_bins=8)
+
+
+def q_feature_corr(spark, sf):
+    """Exact Pearson correlation matrix (pair rows) of the screened
+    feature list from ONE aggregate pass over exact fixed-point sums
+    (operators/screening_stats.py feature_corr_pairs) — the redundancy
+    half of mRMR-style screening; redundancy_prune consumes this."""
+    from featurescreening_jl_spark.operators.screening_stats import (
+        feature_corr_pairs,
+    )
+
+    li = _t(spark, sf, "lineitem")
+    return feature_corr_pairs(li, _SCREEN_STAT_FEATS, scale=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2205,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "hash_negatives": q_hash_negatives,
         "substring_spans": q_substring_spans,
+        "chi2_ranking": q_chi2_ranking,
+        "feature_corr": q_feature_corr,
     }
 
 
@@ -4587,5 +4618,91 @@ def oracle_sql() -> dict[str, str]:
                round(coalesce(u.dup_chars, 0)
                      / greatest(length(d.text), 1), 6) AS dup_fraction
         FROM documents d LEFT JOIN dups u USING (doc_id)
+    """
+    # chi2/MI replay: identical equi-width binning (floor over the same
+    # double expression), then the same (O−E)²/E fold with the absent-cell
+    # mass folded in via Σ_all E = N; MI over observed cells only. All
+    # inputs to the double math are exact integer counts, so both engines
+    # compute identical doubles up to the 6dp rounding.
+    _melt = "\n          UNION ALL\n".join(
+        f"""
+          SELECT label, '{c}' AS feature,
+                 CASE WHEN {c} IS NULL THEN -1
+                      WHEN mn_{c} = mx_{c} THEN 0
+                      ELSE CAST(least(7, floor(({c} - mn_{c})
+                                 / (mx_{c} - mn_{c}) * 8)) AS INT)
+                 END AS bin
+          FROM src, b"""
+        for c in _SCREEN_STAT_FEATS
+    )
+    _bounds = ", ".join(
+        f"min({c}) AS mn_{c}, max({c}) AS mx_{c}" for c in _SCREEN_STAT_FEATS
+    )
+    d["chi2_ranking"] = f"""
+        WITH src AS (
+          SELECT l_returnflag AS label, {', '.join(_SCREEN_STAT_FEATS)}
+          FROM lineitem
+        ),
+        b AS (SELECT {_bounds} FROM src),
+        m AS ({_melt}),
+        cont AS (
+          SELECT feature, bin, label, count(*)::BIGINT AS o
+          FROM m GROUP BY feature, bin, label
+        ),
+        cells AS (
+          SELECT *,
+                 sum(o) OVER (PARTITION BY feature, bin)   AS rt,
+                 sum(o) OVER (PARTITION BY feature, label) AS ct,
+                 sum(o) OVER (PARTITION BY feature)        AS n
+          FROM cont
+        )
+        SELECT feature,
+               round(any_value(n)
+                     + sum((o - rt*ct/n) * (o - rt*ct/n) / (rt*ct/n)
+                           - rt*ct/n), 6) AS chi2,
+               round(sum(o / n * ln(o * n / (rt * ct))), 6) AS mi
+        FROM cells GROUP BY feature
+    """
+    # correlation replay: the same floor(x·1000 + 0.5) fixed-point snap,
+    # exact HUGEINT sums (Spark side: exact DECIMAL(38,0) sums), and the
+    # IDENTICAL double expression tree for the final ratio
+    _notnull = " AND ".join(f"{c} IS NOT NULL" for c in _SCREEN_STAT_FEATS)
+    _fx = ", ".join(
+        f"CAST(floor({c} * 1000 + 0.5) AS HUGEINT) AS {c}"
+        for c in _SCREEN_STAT_FEATS
+    )
+    _sp_pairs = [
+        (a, b)
+        for i, a in enumerate(_SCREEN_STAT_FEATS)
+        for b in _SCREEN_STAT_FEATS[i + 1 :]
+    ]
+    _sums = ", ".join(
+        [f"count(*)::HUGEINT AS n"]
+        + [f"sum({c}) AS s_{c} , sum({c}*{c}) AS q_{c}" for c in _SCREEN_STAT_FEATS]
+        + [f"sum({a}*{b}) AS p_{a}_{b}" for a, b in _sp_pairs]
+    )
+    _rows = "\n        UNION ALL\n".join(
+        f"""
+        SELECT '{a}' AS feature_a, '{b}' AS feature_b,
+               CASE WHEN (n::DOUBLE * q_{a}::DOUBLE
+                          - s_{a}::DOUBLE * s_{a}::DOUBLE) > 0
+                     AND (n::DOUBLE * q_{b}::DOUBLE
+                          - s_{b}::DOUBLE * s_{b}::DOUBLE) > 0
+                    THEN round((n::DOUBLE * p_{a}_{b}::DOUBLE
+                                - s_{a}::DOUBLE * s_{b}::DOUBLE)
+                               / sqrt((n::DOUBLE * q_{a}::DOUBLE
+                                       - s_{a}::DOUBLE * s_{a}::DOUBLE)
+                                      * (n::DOUBLE * q_{b}::DOUBLE
+                                         - s_{b}::DOUBLE * s_{b}::DOUBLE)), 6)
+               END AS corr
+        FROM a"""
+        for a, b in _sp_pairs
+    )
+    d["feature_corr"] = f"""
+        WITH f AS (
+          SELECT {_fx} FROM lineitem WHERE {_notnull}
+        ),
+        a AS (SELECT {_sums} FROM f)
+        {_rows}
     """
     return d

@@ -130,6 +130,10 @@ HEADLINE = [
     "forward_label",
     "session_stats",
     "hash_negatives",
+    # round 4 (this round): span dedup + filter-method screening stats
+    "substring_spans",
+    "chi2_ranking",
+    "feature_corr",
 ]
 
 
