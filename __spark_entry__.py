@@ -2130,6 +2130,63 @@ def q_feature_corr(spark, sf):
     return feature_corr_pairs(li, _SCREEN_STAT_FEATS, scale=3)
 
 
+def q_perplexity_buckets(spark, sf):
+    """CCNet head/middle/tail partitioning: per-language ntile(3) over the
+    char-trigram LM score (operators/lm.py perplexity_buckets — Wenzek et
+    al. 2020). The approx=True variant is the 100 TB path (sketch
+    boundaries, no per-language total sort); the exact form here is the
+    oracle-checkable verifier."""
+    from featurescreening_jl_spark.operators.lm import perplexity_buckets
+
+    docs = _t(spark, sf, "documents")
+    out = perplexity_buckets(docs, n=3, n_buckets=3)
+    return out.select(
+        "doc_id", "lang", "avg_logp", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+def q_conv_neardup(spark, sf):
+    """Conversation-level near-dedup: render each conversation to one text
+    (turns in event-time order), then MinHash-LSH near-dup pairs over the
+    rendered corpus — the transcript-axis twin of document near-dedup
+    (re-ingested/re-crawled conversations that lost their tail turns).
+    Truncated clones of every 15th conversation (last two turns dropped)
+    are constructed from the data itself so the query is non-vacuous:
+    clone↔original true Jaccard ≈0.95, far above the 0.8 threshold, while
+    the max natural conversation pair sits at ≈0.24. The oracle replays
+    the rendering, cloning, and EXACT all-pairs Jaccard ≥ 0.8."""
+    from featurescreening_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    t = _transcripts(spark, sf)
+
+    def _render(df):
+        return df.groupBy("conv_id").agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "turn_idx", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+            ).alias("text")
+        )
+
+    base = _render(t)
+    wmax = Window.partitionBy("conv_id")
+    clones = _render(
+        t.where(
+            F.substring("conv_id", 6, 100).cast("long") % 15 == 0
+        )
+        .withColumn("__mt", F.max("turn_idx").over(wmax))
+        .where(F.col("turn_idx") <= F.col("__mt") - 2)
+    ).select(F.concat("conv_id", F.lit("_dup")).alias("conv_id"), "text")
+    corpus = base.unionByName(clones)
+    return minhash_lsh_pairs(
+        corpus, id_col="conv_id", jaccard_threshold=0.8
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2236,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_spans": q_substring_spans,
         "chi2_ranking": q_chi2_ranking,
         "feature_corr": q_feature_corr,
+        "perplexity_buckets": q_perplexity_buckets,
+        "conv_neardup": q_conv_neardup,
     }
 
 
@@ -4704,5 +4763,75 @@ def oracle_sql() -> dict[str, str]:
         ),
         a AS (SELECT {_sums} FROM f)
         {_rows}
+    """
+    # CCNet buckets: the lm_score oracle's model + scoring CTEs, then the
+    # same (rounded-score DESC, doc_id) ntile per language — the rounding
+    # makes the ordering identical across engines, so the tile assignment
+    # is exact, not tolerance-based
+    d["perplexity_buckets"] = r"""
+        WITH norm AS (
+          SELECT doc_id,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
+          FROM documents
+        ),
+        tri AS (
+          SELECT doc_id, substr(s, i, 3) AS g
+          FROM norm, unnest(range(1, length(s) - 1)) AS u(i)
+          WHERE length(s) >= 3
+        ),
+        model AS (SELECT g, count(*)::DOUBLE AS c FROM tri GROUP BY g),
+        tot AS (SELECT sum(c) AS n, count(*) AS v FROM model),
+        sc AS (
+          SELECT t.doc_id,
+                 round(avg(ln((m.c + 1.0) / (tot.n + tot.v))), 6) AS avg_logp
+          FROM tri t JOIN model m USING (g), tot
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id, d.lang, sc.avg_logp,
+               ntile(3) OVER (PARTITION BY d.lang
+                              ORDER BY sc.avg_logp DESC, d.doc_id)::BIGINT
+                   AS bucket
+        FROM documents d JOIN sc USING (doc_id)
+    """
+    # conversation near-dedup: replay rendering (event-time ordered
+    # concat), the every-15th truncated clone, and EXACT all-pairs word-
+    # 3-gram Jaccard ≥ 0.8 — same shingle normalization as minhash_pairs
+    d["conv_neardup"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        base AS (
+          SELECT conv_id,
+                 string_agg(text, ' ' ORDER BY ts, turn_idx) AS text
+          FROM t GROUP BY conv_id
+        ),
+        trunc AS (
+          SELECT conv_id || '_dup' AS conv_id,
+                 string_agg(text, ' ' ORDER BY ts, turn_idx) AS text
+          FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id) AS mt
+                FROM t
+                WHERE CAST(substr(conv_id, 6) AS BIGINT) % 15 = 0)
+          WHERE turn_idx <= mt - 2
+          GROUP BY conv_id
+        ),
+        corpus AS (SELECT * FROM base UNION ALL SELECT * FROM trunc),
+        sh AS (
+          SELECT conv_id,
+                 list_distinct(list_transform(
+                   range(0, greatest(len(toks) - 3, 0) + 1),
+                   i -> array_to_string(toks[i+1:i+3], ' '))) AS s
+          FROM (
+            SELECT conv_id,
+                   string_split_regex(
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                     ' ') AS toks
+            FROM corpus
+          )
+          WHERE len(toks) > 0
+        )
+        SELECT a.conv_id AS id_a, b.conv_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(a.s || b.s)), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.conv_id < b.conv_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / len(list_distinct(a.s || b.s)) >= 0.8
     """
     return d

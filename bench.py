@@ -134,6 +134,8 @@ HEADLINE = [
     "substring_spans",
     "chi2_ranking",
     "feature_corr",
+    "perplexity_buckets",
+    "conv_neardup",
 ]
 
 

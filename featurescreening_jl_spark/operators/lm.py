@@ -27,10 +27,15 @@ part of the LLM-training-data graft layer (same family as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["char_ngram_counts", "ngram_lm_score", "dsir_weights"]
+__all__ = [
+    "char_ngram_counts",
+    "ngram_lm_score",
+    "dsir_weights",
+    "perplexity_buckets",
+]
 
 
 def _exploded_char_grams(
@@ -216,4 +221,75 @@ def dsir_weights(
         "avg_logp_raw",
         ratio.alias("log_ratio"),
         F.exp(ratio).alias("weight"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    model: DataFrame | None = None,
+    n: int = 3,
+    *,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    approx: bool = False,
+) -> DataFrame:
+    """CCNet-style per-language perplexity partitioning (Wenzek et al.
+    2020): score every document under the char-``n``-gram LM
+    (:func:`ngram_lm_score`), then split each language into ``n_buckets``
+    equal tiles by score — bucket 1 is the most-typical "head", the last
+    the "tail" that quality-sensitive training mixes downweight or drop.
+
+    Ordering is on the score ROUNDED to 6 decimals with ``id_col`` as the
+    tiebreak, so bucket assignment is engine-portable and re-run-stable
+    (raw double scores differ across engines in the last ulps).
+    Documents shorter than ``n`` chars have no grams, hence no score and
+    no row — gate them separately with length filters.
+
+    ``approx=False`` (default): exact ``ntile`` — ONE window shuffle on
+    ``lang_col``; each language partition is totally sorted, which is the
+    verifier-grade form but funnels a dominant language through one sort
+    at corpus scale.
+
+    ``approx=True``: the 100 TB path — per-language bucket BOUNDARIES
+    from ``approx_percentile`` (a map-side-combinable sketch aggregate,
+    one bounded row per language, broadcast back), then map-only range
+    assignment. No per-language total sort; tile sizes are approximate at
+    the sketch's accuracy, head/tail semantics identical.
+
+    Output: ``(id_col, lang, avg_logp, bucket)``, ``bucket`` ∈ 1..n_buckets.
+    """
+    scores = ngram_lm_score(
+        df, model, n, id_col=id_col, text_col=text_col
+    ).select(id_col, F.round("avg_logp", 6).alias("avg_logp"))
+    base = df.select(id_col, lang_col).join(scores, id_col)
+    if not approx:
+        w = (
+            Window.partitionBy(lang_col)
+            .orderBy(F.desc("avg_logp"), F.col(id_col))
+        )
+        return base.select(
+            id_col, lang_col, "avg_logp", F.ntile(n_buckets).over(w).alias("bucket")
+        )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.groupBy(lang_col).agg(
+        F.approx_percentile("avg_logp", probs, 10000).alias("__cuts")
+    )
+    joined = base.join(F.broadcast(bounds), lang_col)
+    # descending-score buckets: scores above the (1 - 1/n)-quantile are
+    # bucket 1; aggregate counts how many cuts sit at-or-above the score
+    bucket = (
+        F.aggregate(
+            F.col("__cuts"),
+            F.lit(0),
+            lambda acc, cut: acc
+            + F.when(F.col("avg_logp") <= cut, 1).otherwise(0),
+        )
+    )
+    return joined.select(
+        id_col,
+        lang_col,
+        "avg_logp",
+        (bucket + F.lit(1)).alias("bucket"),
     )

@@ -309,3 +309,68 @@ class TestMinhashIncremental:
             assert inc[0]["jaccard"] == pytest.approx(
                 self_pairs[0]["jaccard"]
             )
+
+
+class TestPerplexityBuckets:
+    def _docs(self, spark):
+        # three languages, enough docs per lang for meaningful tertiles
+        rows = []
+        for i in range(30):
+            lang = ["en", "de", "fr"][i % 3]
+            # vary typicality: repeat common trigrams more in low-i docs
+            body = ("the cat sat " * (1 + i % 5)) + f"tail{i % 7} " * (i % 4)
+            rows.append((i, body.strip(), lang))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_exact_tiles_per_language(self, spark):
+        from featurescreening_jl_spark.operators.lm import perplexity_buckets
+
+        docs = self._docs(spark)
+        out = perplexity_buckets(docs, n=3, n_buckets=3).toPandas()
+        assert len(out) == 30
+        for lang, grp in out.groupby("lang"):
+            sizes = grp["bucket"].value_counts()
+            # ntile: tile sizes differ by at most one, all tiles present
+            assert set(sizes.index) == {1, 2, 3}
+            assert sizes.max() - sizes.min() <= 1
+            # bucket 1 holds the highest (most typical) scores
+            b1 = grp[grp["bucket"] == 1]["avg_logp"].min()
+            b3 = grp[grp["bucket"] == 3]["avg_logp"].max()
+            assert b1 >= b3
+
+    def test_approx_agrees_with_exact_on_head_vs_tail(self, spark):
+        from featurescreening_jl_spark.operators.lm import perplexity_buckets
+
+        docs = self._docs(spark)
+        exact = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_buckets(docs, n=3, n_buckets=3).collect()
+        }
+        approx = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_buckets(
+                docs, n=3, n_buckets=3, approx=True
+            ).collect()
+        }
+        assert set(approx) == set(exact)
+        assert all(b in (1, 2, 3) for b in approx.values())
+        # boundary ties may land one tile apart; never head<->tail flips
+        assert all(abs(approx[k] - exact[k]) <= 1 for k in exact)
+        # the buckets broadly agree (>= 70% identical on this data)
+        same = sum(approx[k] == exact[k] for k in exact)
+        assert same >= 0.7 * len(exact)
+
+    def test_short_docs_have_no_row(self, spark):
+        from featurescreening_jl_spark.operators.lm import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "ab", "en"), (2, "abcdef abcdef", "en"),
+             (3, "abcdef abcdff", "en"), (4, "zzz qqq xxx", "en")],
+            "doc_id long, text string, lang string",
+        )
+        ids = {
+            r["doc_id"] for r in perplexity_buckets(docs, n=3).collect()
+        }
+        assert ids == {2, 3, 4}
