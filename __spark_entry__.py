@@ -2158,33 +2158,76 @@ def q_conv_neardup(spark, sf):
     from featurescreening_jl_spark.operators.dedup import minhash_lsh_pairs
 
     t = _transcripts(spark, sf)
-
-    def _render(df):
-        return df.groupBy("conv_id").agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("ts", "turn_idx", "text"))
-                    ),
-                    lambda s: s["text"],
-                ),
-            ).alias("text")
+    # ONE groupBy collects each conversation's ordered turn texts; both
+    # the full rendering and the truncated clone derive from it MAP-SIDE
+    # (an earlier two-_render form re-ran the transcripts join+window per
+    # branch). The explicit repartition matters twice over: the per-row
+    # shingling+signature compute downstream is invisible to AQE's
+    # size-based coalescing (the ngram_jaccard_pairs trap), and the
+    # eager localCheckpoint materializes the ~1-row-per-conversation
+    # table once so neither branch re-renders.
+    grouped = (
+        t.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "turn_idx", "text"))
+            ).alias("__turns")
         )
-
-    base = _render(t)
-    wmax = Window.partitionBy("conv_id")
-    clones = _render(
-        t.where(
-            F.substring("conv_id", 6, 100).cast("long") % 15 == 0
-        )
-        .withColumn("__mt", F.max("turn_idx").over(wmax))
-        .where(F.col("turn_idx") <= F.col("__mt") - 2)
-    ).select(F.concat("conv_id", F.lit("_dup")).alias("conv_id"), "text")
+        .repartition(spark.sparkContext.defaultParallelism, "conv_id")
+        .localCheckpoint()
+    )
+    texts = F.transform(F.col("__turns"), lambda s: s["text"])
+    base = grouped.select(
+        "conv_id", F.concat_ws(" ", texts).alias("text")
+    )
+    clones = grouped.where(
+        F.substring("conv_id", 6, 100).cast("long") % 15 == 0
+    ).select(
+        F.concat("conv_id", F.lit("_dup")).alias("conv_id"),
+        F.concat_ws(
+            " ",
+            F.slice(texts, 1, F.greatest(F.size("__turns") - 2, F.lit(0))),
+        ).alias("text"),
+    )
     corpus = base.unionByName(clones)
     return minhash_lsh_pairs(
-        corpus, id_col="conv_id", jaccard_threshold=0.8
+        corpus,
+        id_col="conv_id",
+        jaccard_threshold=0.8,
+        # rendered conversations are ~100× longer than documents and sit
+        # atop a join+window+groupBy plan: shingle once, not per branch
+        checkpoint_shingles=True,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def _snapshot_new(docs):
+    """The 'new snapshot' for snapshot_diff, derived from the data itself:
+    docs ≥ 450 dropped, every 7th doc's text edited, 20 docs appended."""
+    kept = docs.where(F.col("doc_id") < 450)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    return edited.unionByName(added)
+
+
+def q_snapshot_diff(spark, sf):
+    """Snapshot audit: classify every key as added/removed/changed/
+    unchanged between two versions of the documents table
+    (operators/profiling.py snapshot_diff). Sides collapse to
+    (key, 64-bit fingerprint) map-side, so the single full-outer join
+    shuffles key-width rows regardless of payload width; the oracle
+    replays the diff with DIRECT column comparison, so a fingerprint
+    error would surface as a hash mismatch."""
+    from featurescreening_jl_spark.operators.profiling import snapshot_diff
+
+    docs = _t(spark, sf, "documents")
+    return snapshot_diff(docs, _snapshot_new(docs), ["doc_id"], rows=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2295,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_corr": q_feature_corr,
         "perplexity_buckets": q_perplexity_buckets,
         "conv_neardup": q_conv_neardup,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -4833,5 +4877,33 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.conv_id < b.conv_id
         WHERE len(list_intersect(a.s, b.s))::DOUBLE
               / len(list_distinct(a.s || b.s)) >= 0.8
+    """
+    # snapshot diff: replay the synthetic new snapshot, then classify by
+    # DIRECT column comparison (the Spark side compares via xxhash64
+    # fingerprints — a collision-induced misclassification would fail this
+    # oracle, same add-only-error argument as substring_spans)
+    d["snapshot_diff"] = """
+        WITH old AS (SELECT * FROM documents),
+        new AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                     AS text,
+                 lang, source, n_chars
+          FROM documents WHERE doc_id < 450
+          UNION ALL
+          SELECT doc_id + 10000 AS doc_id, text, lang, source, n_chars
+          FROM documents WHERE doc_id < 20
+        )
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN NOT (o.text IS NOT DISTINCT FROM n.text
+                              AND o.lang IS NOT DISTINCT FROM n.lang
+                              AND o.source IS NOT DISTINCT FROM n.source
+                              AND o.n_chars IS NOT DISTINCT FROM n.n_chars)
+                         THEN 'changed'
+                    ELSE 'unchanged'
+               END AS status
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     """
     return d

@@ -136,6 +136,7 @@ HEADLINE = [
     "feature_corr",
     "perplexity_buckets",
     "conv_neardup",
+    "snapshot_diff",
 ]
 
 

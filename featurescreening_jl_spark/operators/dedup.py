@@ -166,16 +166,40 @@ def shingles(text, n: int = 3, words: bool = True):
 
 
 def minhash_signature(shingle_col, num_hashes: int = 64):
-    """MinHash signature: for salt s in 0..k-1, min over shingles of
-    xxhash64(shingle, salt). All JVM-side array expressions — no UDF."""
-    def min_hash_with_salt(salt: int):
-        # closure-bound salt (a 2-param lambda would receive the array
-        # index as its second argument, silently replacing the salt)
-        return F.array_min(
-            F.transform(shingle_col, lambda sh: F.xxhash64(sh, F.lit(salt)))
+    """MinHash signature: hash each shingle STRING once to a 64-bit key,
+    then for salt s in 0..k-1 take min over shingles of
+    ``xxhash64(key, salt)``. All JVM-side array expressions — no UDF.
+
+    The two-level scheme (vs salting the string directly) does the
+    variable-length string hashing ONCE instead of ``num_hashes`` times;
+    the k salted passes then hash fixed 8-byte longs — measured ~2×
+    end-to-end on long-document corpora where the signature projection
+    dominates. The k functions remain independent hashes of the shingle
+    (xxhash64 composed with an injective-up-to-collision first level),
+    so the MinHash collision property is unchanged. NOTE: signature and
+    LSH bucket VALUES differ from the pre-round-4 single-level scheme —
+    rebuild any persisted incremental band index when upgrading.
+
+    The hashed array is bound as a LAMBDA VARIABLE via the
+    ``transform(array(x), …)`` trick: referencing the raw transform
+    inside each of the k per-salt lambdas would re-inline (and re-run)
+    the string-hash pass k times (the HOF re-evaluation trap, see
+    ``shingles``)."""
+    hashed = F.transform(shingle_col, lambda sh: F.xxhash64(sh))
+
+    def sig_of(hs):
+        def min_hash_with_salt(salt: int):
+            # closure-bound salt (a 2-param lambda would receive the
+            # array index as its second argument, replacing the salt)
+            return F.array_min(
+                F.transform(hs, lambda h: F.xxhash64(h, F.lit(salt)))
+            )
+
+        return F.array(
+            *[min_hash_with_salt(s) for s in range(num_hashes)]
         )
 
-    return F.array(*[min_hash_with_salt(s) for s in range(num_hashes)])
+    return F.element_at(F.transform(F.array(hashed), sig_of), 1)
 
 
 def _band_table(
@@ -226,9 +250,21 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    checkpoint_shingles: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash LSH, verified by true
     shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    ``checkpoint_shingles=True`` materializes the (id, shingle-array)
+    table ONCE with an eager ``localCheckpoint`` (the documented pattern
+    of ``ngram_jaccard_pairs_indexed``). The table feeds three plan
+    branches — banding plus both verify sides — so when the per-unit
+    shingling is expensive relative to its output (long inputs like
+    whole rendered conversations, or an upstream plan with joins/windows
+    of its own), recomputing it per branch dominates the query; measured
+    40 s → ~6 s on the conversation-dedup workload at sf0.1. Keep the
+    default (False, fully lazy) for plain short-document corpora, where
+    shingling is cheaper than the checkpoint write.
 
     Plan shape: signature projection (no shuffle) → explode into
     ``bands`` rows each → groupBy band-bucket (one shuffle of
@@ -246,6 +282,8 @@ def minhash_lsh_pairs(
     sh = df.select(
         F.col(id_col), shingles(F.col(text_col), n=shingle_n).alias("__sh")
     ).where(F.size("__sh") > 0)
+    if checkpoint_shingles:
+        sh = sh.localCheckpoint()
     banded = _band_table(sh, id_col, num_hashes, bands)
 
     if max_bucket_size is not None:

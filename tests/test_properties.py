@@ -111,3 +111,67 @@ def test_hash_unit_spark_matches_python_md5(spark):
     for k in keys:
         h = hashlib.md5(f"7:{k}".encode()).hexdigest()
         assert got[k] == int(h[:15], 16) / float(1 << 60), k
+
+
+class TestSnapshotDiff:
+    def _frames(self, spark):
+        old = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", None), (3, "c", "z"), (4, "d", "w")],
+            "id long, v string, extra string",
+        )
+        new = spark.createDataFrame(
+            [(1, "a", "x"),        # unchanged
+             (2, None, "b"),       # changed: values swapped across columns
+             (3, "c2", "z"),       # changed
+             (5, "e", "q")],       # added (4 removed)
+            "id long, v string, extra string",
+        )
+        return old, new
+
+    def test_classification(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            snapshot_diff,
+        )
+
+        old, new = self._frames(spark)
+        got = {
+            r["id"]: r["status"]
+            for r in snapshot_diff(old, new, ["id"], rows=True).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                       4: "removed", 5: "added"}
+
+    def test_null_sentinel_distinguishes_column_position(self, spark):
+        # (None, 'b') vs ('b', None) must NOT fingerprint equal — the
+        # per-column NULL sentinel guards against concat-collapse
+        from featurescreening_jl_spark.operators.profiling import (
+            snapshot_diff,
+        )
+
+        old = spark.createDataFrame([(1, None, "b")],
+                                    "id long, v string, extra string")
+        new = spark.createDataFrame([(1, "b", None)],
+                                    "id long, v string, extra string")
+        [row] = snapshot_diff(old, new, ["id"], rows=True).collect()
+        assert row["status"] == "changed"
+
+    def test_summary_counts_and_compare_subset(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            snapshot_diff,
+        )
+
+        old, new = self._frames(spark)
+        counts = {
+            r["status"]: r["n"]
+            for r in snapshot_diff(old, new, ["id"]).collect()
+        }
+        assert counts == {"unchanged": 1, "changed": 2, "removed": 1,
+                          "added": 1}
+        # comparing only `extra`: id 3 (same extra) becomes unchanged
+        got = {
+            r["id"]: r["status"]
+            for r in snapshot_diff(
+                old, new, ["id"], compare_cols=["extra"], rows=True
+            ).collect()
+        }
+        assert got[3] == "unchanged" and got[2] == "changed"
