@@ -2230,6 +2230,45 @@ def q_snapshot_diff(spark, sf):
     return snapshot_diff(docs, _snapshot_new(docs), ["doc_id"], rows=True)
 
 
+def q_quality_classifier(spark, sf):
+    """Model-based quality filter (operators/quality_filter.py): MLlib
+    logistic regression trained to separate reference sources (src0-src4
+    here) from the rest over map-side quality features, scoring every
+    document. Iterative LBFGS fit — the documented non-SQL-expressible
+    class, so this entry is rows-only (no oracle_sql); the operator's
+    separation/determinism semantics are pytest-pinned."""
+    from featurescreening_jl_spark.operators.quality_filter import (
+        quality_classifier_scores,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return quality_classifier_scores(
+        docs, [f"src{i}" for i in range(5)]
+    )
+
+
+def q_conv_packing(spark, sf):
+    """Conversation-atomic sequence packing: sum each conversation's turn
+    tokens map-side, then first-fit-pack WHOLE conversations into
+    training sequences (operators/packing.py over conv_id grain) —
+    multi-turn SFT prep where a conversation must never straddle a pack
+    boundary. The oracle replays the token rollup and the exact
+    sequential first-fit scan per hash group."""
+    from featurescreening_jl_spark.operators.packing import pack_sequences
+    from featurescreening_jl_spark.operators.text_analysis import (
+        token_count,
+    )
+
+    t = _transcripts(spark, sf)
+    conv = t.groupBy("conv_id").agg(
+        F.sum(token_count(F.col("text")).cast("long")).alias("n_tokens")
+    )
+    out = pack_sequences(
+        conv, 8000, id_col="conv_id", strategy="greedy", num_groups=4
+    )
+    return out.select("conv_id", "pack_id", "pack_pos", "pack_tokens")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2339,6 +2378,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": q_perplexity_buckets,
         "conv_neardup": q_conv_neardup,
         "snapshot_diff": q_snapshot_diff,
+        "quality_classifier": q_quality_classifier,
+        "conv_packing": q_conv_packing,
     }
 
 
@@ -4905,5 +4946,43 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'unchanged'
                END AS status
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """
+    # conversation-atomic packing: the pack_greedy recursive-CTE replay
+    # over the per-conversation token rollup (same portable md5 order key,
+    # binary string collation matches Spark's)
+    d["conv_packing"] = f"""
+        WITH RECURSIVE t AS ({_TRANSCRIPTS_SQL}),
+        toks AS (
+          SELECT conv_id,
+                 sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text),
+                                                         '\\s+'))
+                     END)::BIGINT AS t,
+                 ('0x' || substr(md5('42:' || conv_id), 1, 15))::BIGINT
+                     AS hk
+          FROM t GROUP BY conv_id
+        ), ordered AS (
+          SELECT conv_id, t, hk, hk % 4 AS grp,
+                 row_number() OVER (PARTITION BY hk % 4
+                                    ORDER BY hk, conv_id) AS rn
+          FROM toks
+        ), state AS (
+          SELECT grp, rn, conv_id, t AS acc, 0::BIGINT AS pack, 0 AS pos
+          FROM ordered WHERE rn = 1
+          UNION ALL
+          SELECT o.grp, o.rn, o.conv_id,
+                 CASE WHEN s.acc + o.t <= 8000 THEN s.acc + o.t
+                      ELSE o.t END,
+                 CASE WHEN s.acc + o.t <= 8000 THEN s.pack
+                      ELSE s.pack + 1 END,
+                 CASE WHEN s.acc + o.t <= 8000 THEN s.pos + 1 ELSE 0 END
+          FROM state s
+          JOIN ordered o ON o.grp = s.grp AND o.rn = s.rn + 1
+        )
+        SELECT conv_id,
+               grp * 4294967296 + pack AS pack_id,
+               pos::INTEGER AS pack_pos,
+               acc AS pack_tokens
+        FROM state
     """
     return d

@@ -137,6 +137,8 @@ HEADLINE = [
     "perplexity_buckets",
     "conv_neardup",
     "snapshot_diff",
+    "quality_classifier",
+    "conv_packing",
 ]
 
 

@@ -374,3 +374,72 @@ class TestPerplexityBuckets:
             r["doc_id"] for r in perplexity_buckets(docs, n=3).collect()
         }
         assert ids == {2, 3, 4}
+
+
+class TestQualityClassifier:
+    def _docs(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for i in range(240):
+            if i % 2 == 0:  # "reference" style: longer, stopword-rich
+                n = int(rng.integers(25, 60))
+                words = rng.choice(
+                    ["the", "of", "and", "value", "table", "merge", "a",
+                     "is", "to", "in"], n)
+                src = "wiki"
+            else:  # "crawl" style: short, shouty, punctuation-heavy
+                n = int(rng.integers(3, 10))
+                words = rng.choice(
+                    ["BUY!!!", "CLICK", "WIN$$$", "FREE!!", "NOW!!"], n)
+                src = "crawl"
+            rows.append((i, " ".join(words), src))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+
+    def test_separates_reference_from_crawl(self, spark):
+        from featurescreening_jl_spark.operators.quality_filter import (
+            quality_classifier_scores,
+        )
+
+        docs = self._docs(spark)
+        out = quality_classifier_scores(docs, ["wiki"]).toPandas()
+        assert len(out) == 240
+        pos = out[out["label"] == 1]["quality_score"]
+        neg = out[out["label"] == 0]["quality_score"]
+        # clearly separable synthetic data: the model must separate it
+        assert pos.mean() > 0.9 and neg.mean() < 0.1
+        # AUC: every positive above every negative here
+        assert pos.min() > neg.max()
+
+    def test_deterministic_across_fits(self, spark):
+        from featurescreening_jl_spark.operators.quality_filter import (
+            quality_classifier_scores,
+        )
+
+        docs = self._docs(spark)
+        a = {
+            r["doc_id"]: r["quality_score"]
+            for r in quality_classifier_scores(docs, ["wiki"]).collect()
+        }
+        b = {
+            r["doc_id"]: r["quality_score"]
+            for r in quality_classifier_scores(
+                docs.repartition(7), ["wiki"]
+            ).collect()
+        }
+        # 4dp rounding absorbs LBFGS float-reduction order differences
+        diffs = [abs(a[k] - b[k]) for k in a]
+        assert max(diffs) <= 1e-3
+
+    def test_empty_positive_sources_raises(self, spark):
+        import pytest as _pytest
+
+        from featurescreening_jl_spark.operators.quality_filter import (
+            quality_classifier_scores,
+        )
+
+        with _pytest.raises(ValueError):
+            quality_classifier_scores(self._docs(spark), [])
