@@ -2269,6 +2269,90 @@ def q_conv_packing(spark, sf):
     return out.select("conv_id", "pack_id", "pack_pos", "pack_tokens")
 
 
+def _with_injected_loops(t: DataFrame) -> DataFrame:
+    """Append a verbatim stuck-run (3 identical assistant turns) to every
+    md5-elected 1-in-20 conversation — deterministic, partitioning-
+    invariant, and exactly replayable in the DuckDB oracle."""
+    from featurescreening_jl_spark.operators.dedup import hash60_portable
+
+    tails = (
+        t.groupBy("conv_id")
+        .agg(F.max("turn_idx").alias("__mx"), F.max("ts").alias("__mts"))
+        .where(
+            hash60_portable(F.concat(F.lit("loop:"), F.col("conv_id"))) % 20
+            == 0
+        )
+    )
+    injected = tails.select(
+        "conv_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("__k"),
+        "__mx",
+        "__mts",
+    ).select(
+        "conv_id",
+        (F.col("__mx") + F.col("__k")).cast("int").alias("turn_idx"),
+        F.lit("assistant").alias("role"),
+        F.lit("I will retry the same command.").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.expr("timestampadd(SECOND, __k, __mts)").alias("ts"),
+    )
+    return t.unionByName(injected)
+
+
+def q_loop_detection(spark, sf):
+    # Degenerate-loop audit (operators/conversations.py): per-conversation
+    # stats over maximal runs of consecutive verbatim (role, text) repeats
+    # — the stuck-agent signature document-level dedup can't see. Stuck
+    # runs are injected into an md5-elected 1/20 of conversations so the
+    # operator has real positives to find; the oracle replays injection
+    # and the gaps-and-islands run decomposition exactly.
+    from featurescreening_jl_spark.operators.conversations import (
+        detect_degenerate_loops,
+    )
+
+    t = _with_injected_loops(_transcripts(spark, sf))
+    return detect_degenerate_loops(t, min_run=3)
+
+
+def q_merge_turns(spark, sf):
+    # Fragment normalization: merge runs of consecutive same-role turns
+    # into one turn (texts joined in turn order, run-first ts), densely
+    # re-indexed — the precondition for alternation-based validity gates
+    # on streamed/stitched transcripts. One conv-keyed exchange serves
+    # the run window, the run aggregate, and the re-index window.
+    from featurescreening_jl_spark.operators.conversations import (
+        merge_consecutive_turns,
+    )
+
+    t = _transcripts(spark, sf)
+    out = merge_consecutive_turns(t, sep="\n")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "n_merged",
+        # epoch seconds: the engines' pandas timestamp units differ
+        # (ns vs us), epoch longs compare exactly
+        epoch_seconds(F.col("ts")).alias("ts_epoch"),
+    )
+
+
+def q_turn_edit_dist(spark, sf):
+    # Per-turn self-repetition features: Levenshtein distance + normalized
+    # similarity against the PREVIOUS turn of the same role — the graded
+    # companion to loop_detection (paraphrase loops, copy-edit churn).
+    # Texts are capped at 120 chars (documented O(len²) guard; the cap is
+    # the production knob, set low here so the DuckDB oracle replays the
+    # exact same capped distances cheaply).
+    from featurescreening_jl_spark.operators.conversations import (
+        turn_edit_features,
+    )
+
+    t = _transcripts(spark, sf)
+    return turn_edit_features(t, max_chars=120)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2380,6 +2464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "quality_classifier": q_quality_classifier,
         "conv_packing": q_conv_packing,
+        "loop_detection": q_loop_detection,
+        "merge_turns": q_merge_turns,
+        "turn_edit_dist": q_turn_edit_dist,
     }
 
 
@@ -4984,5 +5071,112 @@ def oracle_sql() -> dict[str, str]:
                pos::INTEGER AS pack_pos,
                acc AS pack_tokens
         FROM state
+    """
+    # degenerate-loop audit: replay the stuck-run injection (same portable
+    # md5 election) and the gaps-and-islands run decomposition
+    d["loop_detection"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        tails AS (
+          SELECT conv_id, max(turn_idx) AS mx, max(ts) AS mts
+          FROM t GROUP BY conv_id
+          HAVING ('0x' || substr(md5('loop:' || conv_id), 1, 15))::BIGINT
+                 % 20 = 0
+        ),
+        inj AS (
+          SELECT conv_id, (mx + k)::INT AS turn_idx,
+                 'assistant' AS role,
+                 'I will retry the same command.' AS text,
+                 NULL::VARCHAR AS tool,
+                 mts + k * INTERVAL 1 SECOND AS ts
+          FROM tails, UNNEST([1, 2, 3]) AS u(k)
+        ),
+        uni AS (
+          SELECT conv_id, turn_idx, role, text, ts FROM t
+          UNION ALL
+          SELECT conv_id, turn_idx, role, text, ts FROM inj
+        ),
+        marked AS (
+          SELECT conv_id, ts, turn_idx,
+                 CASE WHEN lag(role) OVER w = role
+                       AND lag(lower(trim(coalesce(text, '')))) OVER w
+                           = lower(trim(coalesce(text, '')))
+                      THEN 0 ELSE 1 END AS new_run
+          FROM uni
+          WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)
+        ),
+        runs AS (
+          SELECT conv_id,
+                 SUM(new_run) OVER (PARTITION BY conv_id
+                                    ORDER BY ts, turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM marked
+        ),
+        run_len AS (
+          SELECT conv_id, run_id, COUNT(*) AS len
+          FROM runs GROUP BY conv_id, run_id
+        )
+        SELECT conv_id,
+               SUM(len)::BIGINT AS n_turns,
+               MAX(len)::BIGINT AS max_run_len,
+               SUM(CASE WHEN len >= 3 THEN len ELSE 0 END)::BIGINT
+                   AS n_looped_turns,
+               round(SUM(CASE WHEN len >= 3 THEN len ELSE 0 END)::DOUBLE
+                     / SUM(len), 4) AS loop_share,
+               MAX(len) >= 3 AS is_looping
+        FROM run_len GROUP BY conv_id
+    """
+    # same-role fragment merge: runs keyed by role change only; merged
+    # text is the run's fragments in turn order; dense re-index over runs
+    d["merge_turns"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        marked AS (
+          SELECT conv_id, turn_idx, role, coalesce(text, '') AS text, ts,
+                 CASE WHEN lag(role) OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) = role
+                      THEN 0 ELSE 1 END AS new_run
+          FROM t
+        ),
+        runs AS (
+          SELECT *,
+                 SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS run_id
+          FROM marked
+        ),
+        merged AS (
+          SELECT conv_id, run_id,
+                 MIN(turn_idx) AS first_o,
+                 MAX(role) AS role,
+                 string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                 COUNT(*)::INT AS n_merged,
+                 MIN(ts) AS ts
+          FROM runs GROUP BY conv_id, run_id
+        )
+        SELECT conv_id,
+               (row_number() OVER (PARTITION BY conv_id
+                                   ORDER BY first_o) - 1)::INT AS turn_idx,
+               role, text, n_merged,
+               floor(epoch(ts))::BIGINT AS ts_epoch
+        FROM merged
+    """
+    # per-turn same-role edit distance: previous same-role turn found by
+    # ordering the conv window by (role, ts, turn_idx) with a role guard,
+    # texts capped at 120 chars — the identical capped DP both engines run
+    d["turn_edit_dist"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        lagged AS (
+          SELECT conv_id, turn_idx, role,
+                 substr(coalesce(text, ''), 1, 120) AS cur,
+                 CASE WHEN lag(role) OVER w = role
+                      THEN lag(substr(coalesce(text, ''), 1, 120)) OVER w
+                 END AS prev
+          FROM t
+          WINDOW w AS (PARTITION BY conv_id ORDER BY role, ts, turn_idx)
+        )
+        SELECT conv_id, turn_idx, role,
+               levenshtein(cur, prev)::INT AS edit_dist,
+               round(1.0 - levenshtein(cur, prev)::DOUBLE
+                     / greatest(length(cur), length(prev), 1), 6)
+                   AS edit_sim
+        FROM lagged
     """
     return d

@@ -139,6 +139,9 @@ HEADLINE = [
     "snapshot_diff",
     "quality_classifier",
     "conv_packing",
+    "loop_detection",
+    "merge_turns",
+    "turn_edit_dist",
 ]
 
 

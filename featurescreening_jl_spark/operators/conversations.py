@@ -36,6 +36,9 @@ __all__ = [
     "render_chat",
     "sft_pairs",
     "role_transition_stats",
+    "detect_degenerate_loops",
+    "merge_consecutive_turns",
+    "turn_edit_features",
 ]
 
 
@@ -311,4 +314,207 @@ def role_transition_stats(
             / F.sum("n_transitions").over(norm).cast("double"),
             6,
         ).alias("p_transition"),
+    )
+
+
+def detect_degenerate_loops(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+    text_col: str = "text",
+    min_run: int = 3,
+    normalize: bool = True,
+) -> DataFrame:
+    """Per-conversation degenerate-loop audit: find maximal runs of
+    CONSECUTIVE turns whose (role, text) repeat verbatim — the signature
+    of a stuck agent (same tool call re-issued, same apology re-emitted)
+    that poisons SFT corpora if it survives to training. Document-level
+    dedup can't see it: the duplicate lives INSIDE one sample.
+
+    A run is a gaps-and-islands segment over the conversation order:
+    a new segment starts whenever role or (optionally lower/trimmed)
+    text differs from the previous turn. Emitted per conversation:
+
+    - ``n_turns``
+    - ``max_run_len`` — longest repeated streak (1 = no repetition)
+    - ``n_looped_turns`` — turns inside runs of length ≥ ``min_run``
+    - ``loop_share`` — ``n_looped_turns / n_turns`` (4 dp)
+    - ``is_looping`` — ``max_run_len >= min_run``
+
+    Plan shape: one lag window over the shared conversation order →
+    running-sum run ids (same window frame, same exchange) → two hash
+    aggregates, BOTH clustering on supersets of ``by`` — Catalyst reuses
+    the single conv-keyed exchange end-to-end, so the whole audit costs
+    one shuffle. Per-group state is a handful of longs; no UDF, no
+    collect_list. (Reference scope: input hygiene for the screening
+    contract, `/root/reference/src/FeatureScreening.jl:88-104`.)
+    """
+    if min_run < 2:
+        raise ValueError(f"min_run must be >= 2, got {min_run}")
+    key = F.coalesce(F.col(text_col), F.lit(""))
+    if normalize:
+        key = F.lower(F.trim(key))
+    ow = Window.partitionBy(by).orderBy(*[F.col(c) for c in order])
+    run_frame = ow.rowsBetween(Window.unboundedPreceding, 0)
+    marked = df.select(
+        by,
+        *order,
+        F.when(
+            (F.lag(role_col).over(ow) == F.col(role_col))
+            & (F.lag(key).over(ow) == key),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("__new_run"),
+    ).select(by, "__new_run", *order)
+    runs = (
+        marked.withColumn("__run", F.sum("__new_run").over(run_frame))
+        .groupBy(by, "__run")
+        .agg(F.count(F.lit(1)).alias("__len"))
+    )
+    n_turns = F.sum("__len")
+    looped = F.sum(F.when(F.col("__len") >= min_run, F.col("__len")).otherwise(F.lit(0)))
+    max_run = F.max("__len")
+    return runs.groupBy(by).agg(
+        n_turns.alias("n_turns"),
+        max_run.alias("max_run_len"),
+        looped.alias("n_looped_turns"),
+        F.round(looped.cast("double") / n_turns.cast("double"), 4).alias(
+            "loop_share"
+        ),
+        (max_run >= min_run).alias("is_looping"),
+    )
+
+
+def merge_consecutive_turns(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    ts_col: str | None = "ts",
+    sep: str = "\n",
+) -> DataFrame:
+    """Normalize a transcript by merging runs of CONSECUTIVE same-role
+    turns into one turn (texts joined by ``sep`` in turn order, ts =
+    the run's first timestamp) and re-indexing ``turn_idx`` densely —
+    the canonical fix for stitched/streamed transcripts where one
+    logical message arrived as several fragments, and a precondition
+    for alternation-based gates (:func:`conversation_validity` would
+    otherwise reject fragmented-but-fine conversations).
+
+    Same gaps-and-islands skeleton as :func:`detect_degenerate_loops`
+    (runs keyed by role change only), then one aggregate per run:
+    ``array_sort(collect_list(struct(order, text)))`` keeps fragment
+    order deterministic regardless of arrival order, and the final
+    dense ``turn_idx`` is a row_number over runs within the
+    conversation. Every stage clusters on a superset of ``by`` — one
+    conv-keyed exchange serves the lag window, the run aggregate, and
+    the re-index window. Per-group state is one run's fragments (≤ one
+    conversation's turns — the bound every operator in this module
+    carries).
+
+    Output: ``by``, ``turn_idx`` (dense, 0-based), ``role_col``,
+    ``text_col`` (merged), ``n_merged`` (fragments in the run), plus
+    ``ts_col`` (run-first) when given.
+    """
+    ow = Window.partitionBy(by).orderBy(order_col)
+    run_frame = ow.rowsBetween(Window.unboundedPreceding, 0)
+    marked = df.withColumn(
+        "__new_run",
+        F.when(F.lag(role_col).over(ow) == F.col(role_col), F.lit(0))
+        .otherwise(F.lit(1)),
+    ).withColumn("__run", F.sum("__new_run").over(run_frame))
+    frag = F.struct(
+        F.col(order_col).alias("o"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
+    )
+    aggs = [
+        F.min(order_col).alias("__first_o"),
+        F.max(role_col).alias(role_col),  # constant within a run
+        F.array_sort(F.collect_list(frag)).alias("__frags"),
+    ]
+    if ts_col is not None:
+        aggs.append(F.min(ts_col).alias(ts_col))
+    runs = marked.groupBy(by, "__run").agg(*aggs)
+    reindex = Window.partitionBy(by).orderBy("__first_o")
+    merged_text = F.array_join(
+        F.transform(F.col("__frags"), lambda x: x["t"]), sep
+    )
+    out_cols = [
+        by,
+        (F.row_number().over(reindex) - 1).cast("int").alias(order_col),
+        role_col,
+        merged_text.alias(text_col),
+        F.size("__frags").alias("n_merged"),
+    ]
+    if ts_col is not None:
+        out_cols.append(F.col(ts_col))
+    return runs.select(*out_cols)
+
+
+def turn_edit_features(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order: tuple[str, ...] = ("ts", "turn_idx"),
+    role_col: str = "role",
+    text_col: str = "text",
+    order_col: str = "turn_idx",
+    max_chars: int = 2000,
+) -> DataFrame:
+    """Per-turn self-repetition features: Levenshtein distance and
+    normalized similarity between each turn and the PREVIOUS turn of
+    the SAME role in the conversation — the graded companion to
+    :func:`detect_degenerate_loops` (which only sees verbatim repeats).
+    High ``edit_sim`` on assistant turns marks paraphrase loops and
+    copy-edit churn; as screening features these feed the same
+    turn-level frame as window_features.py.
+
+    Scale guards, both explicit:
+
+    - texts are capped at ``max_chars`` before the distance
+      (Levenshtein is O(len²) per pair; the cap bounds per-row cost
+      at a constant — the standard production compromise);
+    - the "previous same-role turn" lag does NOT re-partition by
+      (conv, role): the window partitions by ``by`` alone and orders
+      by (role, *order), so the previous row in that order IS the
+      previous same-role turn whenever its role matches (guarded with
+      a ``when``) — the operator rides the module's shared conv-keyed
+      exchange instead of introducing a second shuffle key.
+
+    Output: ``by``, ``order_col``, ``role_col``, ``prev_`` distance
+    columns — ``edit_dist`` (NULL for a role's first turn),
+    ``edit_sim`` = ``1 - dist / max(len_a, len_b, 1)`` (6 dp).
+    """
+    ow = Window.partitionBy(by).orderBy(
+        F.col(role_col), *[F.col(c) for c in order]
+    )
+    cur = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars)
+    prev = F.when(
+        F.lag(role_col).over(ow) == F.col(role_col),
+        F.lag(cur).over(ow),
+    )
+    base = df.select(
+        by,
+        F.col(order_col),
+        F.col(role_col),
+        cur.alias("__cur"),
+        prev.alias("__prev"),
+    )
+    dist = F.levenshtein(F.col("__cur"), F.col("__prev"))
+    denom = F.greatest(
+        F.length("__cur"), F.length("__prev"), F.lit(1)
+    ).cast("double")
+    return base.select(
+        by,
+        order_col,
+        role_col,
+        dist.alias("edit_dist"),
+        F.round(F.lit(1.0) - dist.cast("double") / denom, 6).alias(
+            "edit_sim"
+        ),
     )

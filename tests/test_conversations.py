@@ -263,3 +263,195 @@ def test_role_transition_single_window_shuffle(spark):
     # exactly one per-conversation window (the lead) — the normalizing
     # window runs over the tiny post-aggregate relation
     assert plan.count("Window") == 2
+
+
+class TestDetectDegenerateLoops:
+    def test_finds_verbatim_stuck_run(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            detect_degenerate_loops,
+        )
+
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "user", "hi"),
+                ("a", 1, "assistant", "Sorry, I can't."),
+                ("a", 2, "assistant", "sorry, i can't. "),  # normalized ==
+                ("a", 3, "assistant", "Sorry, I can't."),
+                ("a", 4, "user", "ok"),
+                ("b", 0, "user", "x"),
+                ("b", 1, "assistant", "y"),
+            ],
+        )
+        out = {
+            r["conv_id"]: r
+            for r in detect_degenerate_loops(df, min_run=3).collect()
+        }
+        a, b = out["a"], out["b"]
+        assert (a["n_turns"], a["max_run_len"], a["n_looped_turns"]) == (5, 3, 3)
+        assert a["loop_share"] == pytest.approx(0.6)
+        assert a["is_looping"] is True
+        assert (b["max_run_len"], b["is_looping"]) == (1, False)
+
+    def test_normalize_false_distinguishes_case(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            detect_degenerate_loops,
+        )
+
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "assistant", "Same"),
+                ("a", 1, "assistant", "same"),
+                ("a", 2, "assistant", "Same"),
+            ],
+        )
+        strict = detect_degenerate_loops(
+            df, min_run=2, normalize=False
+        ).collect()[0]
+        loose = detect_degenerate_loops(
+            df, min_run=2, normalize=True
+        ).collect()[0]
+        assert strict["max_run_len"] == 1 and strict["is_looping"] is False
+        assert loose["max_run_len"] == 3 and loose["is_looping"] is True
+
+    def test_role_change_breaks_run(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            detect_degenerate_loops,
+        )
+
+        # identical text but alternating roles — never a run
+        df = _conv(
+            spark,
+            [("a", i, "user" if i % 2 == 0 else "tool", "ping") for i in range(6)],
+        )
+        out = detect_degenerate_loops(df, min_run=2).collect()[0]
+        assert out["max_run_len"] == 1 and out["n_looped_turns"] == 0
+
+    def test_min_run_validation(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            detect_degenerate_loops,
+        )
+
+        with pytest.raises(ValueError):
+            detect_degenerate_loops(_conv(spark, [("a", 0, "user", "x")]), min_run=1)
+
+
+class TestMergeConsecutiveTurns:
+    def test_merges_fragments_in_turn_order(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            merge_consecutive_turns,
+        )
+
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "user", "part one"),
+                ("a", 1, "user", "part two"),
+                ("a", 2, "assistant", "answer"),
+                ("a", 3, "user", "followup"),
+            ],
+        )
+        out = (
+            merge_consecutive_turns(df, sep=" ")
+            .orderBy("turn_idx")
+            .collect()
+        )
+        assert [(r["turn_idx"], r["role"], r["text"], r["n_merged"]) for r in out] == [
+            (0, "user", "part one part two", 2),
+            (1, "assistant", "answer", 1),
+            (2, "user", "followup", 1),
+        ]
+        # run-first timestamp survives
+        assert out[0]["ts"] == _ts(0)
+
+    def test_same_role_nonadjacent_not_merged(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            merge_consecutive_turns,
+        )
+
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "user", "q1"),
+                ("a", 1, "assistant", "a1"),
+                ("a", 2, "user", "q2"),
+            ],
+        )
+        assert merge_consecutive_turns(df).count() == 3
+
+    def test_single_shuffle_plan(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            merge_consecutive_turns,
+        )
+
+        df = _conv(spark, [("a", 0, "user", "x"), ("a", 1, "user", "y")])
+        plan = (
+            merge_consecutive_turns(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # lag window, run aggregate, and re-index window all ride ONE
+        # conv-keyed exchange (hash clustering on a superset of conv_id)
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestTurnEditFeatures:
+    def test_distance_against_previous_same_role_turn(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            turn_edit_features,
+        )
+
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "user", "hello there"),
+                ("a", 1, "assistant", "kitten"),
+                ("a", 2, "user", "hello their"),   # vs turn 0: dist 2
+                ("a", 3, "assistant", "sitting"),  # vs turn 1: dist 3
+            ],
+        )
+        out = {
+            r["turn_idx"]: r for r in turn_edit_features(df).collect()
+        }
+        assert out[0]["edit_dist"] is None and out[1]["edit_dist"] is None
+        assert out[2]["edit_dist"] == 2
+        assert out[3]["edit_dist"] == 3
+        assert out[3]["edit_sim"] == pytest.approx(1 - 3 / 7, abs=1e-6)
+
+    def test_max_chars_caps_distance(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            turn_edit_features,
+        )
+
+        df = _conv(
+            spark,
+            [
+                ("a", 0, "user", "aaaa" + "x" * 100),
+                ("a", 1, "user", "aaaa" + "y" * 100),
+            ],
+        )
+        out = {
+            r["turn_idx"]: r
+            for r in turn_edit_features(df, max_chars=4).collect()
+        }
+        # both cap to "aaaa" — identical under the cap
+        assert out[1]["edit_dist"] == 0 and out[1]["edit_sim"] == 1.0
+
+    def test_no_extra_shuffle_key(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            turn_edit_features,
+        )
+
+        df = _conv(spark, [("a", 0, "user", "x"), ("a", 1, "tool", "y")])
+        plan = (
+            turn_edit_features(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the same-role lag partitions by conv_id ONLY (role rides the
+        # sort key) — no (conv, role) exchange
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "hashpartitioning(conv_id" in plan
