@@ -2353,6 +2353,41 @@ def q_turn_edit_dist(spark, sf):
     return turn_edit_features(t, max_chars=120)
 
 
+def q_entropy_features(spark, sf):
+    # Char- and token-level Shannon entropy per document — the classic
+    # low-information / degenerate-text signal, computed as ONE run-length
+    # fold over a sorted array (map-only, no explode, no shuffle). The
+    # oracle explodes chars/tokens and uses DuckDB's native entropy()
+    # aggregate (log base 2, same definition).
+    from featurescreening_jl_spark.operators.text_analysis import (
+        entropy_features,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.length("text") > 0)
+    out = entropy_features(docs, id_cols=("doc_id",), text_col="text")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round("char_entropy", 6).alias("char_entropy"),
+        F.round("token_entropy", 6).alias("token_entropy"),
+    )
+
+
+def q_preference_pairs(spark, sf):
+    # Best-of-n preference-pair mining (DPO-style): assistant turns
+    # grouped by the exact text of their preceding user turn; chosen /
+    # rejected picked by an exact-integer score (distinct-token ppm) so
+    # Spark's max(struct) and the oracle's row_number pick the identical
+    # winner. Shuffle key is md5(prompt), never the raw prompt text.
+    from featurescreening_jl_spark.operators.conversations import (
+        preference_pairs,
+    )
+
+    t = _transcripts(spark, sf)
+    return preference_pairs(t, min_candidates=2, min_gap_ppm=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2467,6 +2502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "loop_detection": q_loop_detection,
         "merge_turns": q_merge_turns,
         "turn_edit_dist": q_turn_edit_dist,
+        "entropy_features": q_entropy_features,
+        "preference_pairs": q_preference_pairs,
     }
 
 
@@ -5178,5 +5215,79 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(length(cur), length(prev), 1), 6)
                    AS edit_sim
         FROM lagged
+    """
+    d["entropy_features"] = r"""
+        WITH ch AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS c
+          FROM documents WHERE length(text) > 0
+        ),
+        tk AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+          FROM documents WHERE length(text) > 0
+        ),
+        ce AS (
+          SELECT doc_id, count(*)::BIGINT AS n_chars,
+                 entropy(c) AS char_entropy
+          FROM ch GROUP BY doc_id
+        ),
+        te AS (
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 entropy(w) AS token_entropy
+          FROM tk GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(ce.n_chars, 0)::BIGINT AS n_chars,
+               coalesce(te.n_tokens, 0)::BIGINT AS n_tokens,
+               round(coalesce(ce.char_entropy, 0.0), 6) AS char_entropy,
+               round(coalesce(te.token_entropy, 0.0), 6) AS token_entropy
+        FROM documents d
+        LEFT JOIN ce USING (doc_id)
+        LEFT JOIN te USING (doc_id)
+        WHERE length(d.text) > 0
+    """
+    d["preference_pairs"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        lagged AS (
+          SELECT conv_id, turn_idx,
+                 coalesce(text, '') AS resp,
+                 lag(role) OVER w AS prole, role,
+                 coalesce(lag(text) OVER w, '') AS prompt
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        resp AS (
+          SELECT *,
+                 list_filter(string_split_regex(trim(resp), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM lagged
+          WHERE role = 'assistant' AND prole = 'user' AND length(prompt) > 0
+        ),
+        scored AS (
+          SELECT md5(prompt) AS ph, prompt, resp, conv_id, turn_idx,
+                 len(list_distinct(toks))::BIGINT AS nd,
+                 len(toks)::BIGINT AS nt
+          FROM resp WHERE len(toks) > 0
+        ),
+        sc2 AS (SELECT *, (nd * 1000000) // nt AS ppm FROM scored),
+        ranked AS (
+          SELECT *,
+                 count(*) OVER (PARTITION BY ph) AS n,
+                 row_number() OVER (PARTITION BY ph
+                     ORDER BY ppm DESC, nt DESC, resp DESC,
+                              conv_id DESC, turn_idx DESC) AS rb,
+                 row_number() OVER (PARTITION BY ph
+                     ORDER BY ppm, nt, resp, conv_id, turn_idx) AS rw
+          FROM sc2
+        )
+        SELECT b.prompt,
+               b.n::BIGINT AS n_candidates,
+               b.resp AS chosen,
+               w.resp AS rejected,
+               b.ppm::BIGINT AS chosen_ppm,
+               w.ppm::BIGINT AS rejected_ppm
+        FROM (SELECT * FROM ranked WHERE rb = 1) b
+        JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (ph)
+        WHERE b.n >= 2 AND b.resp <> w.resp AND b.ppm >= w.ppm
     """
     return d

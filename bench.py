@@ -142,6 +142,8 @@ HEADLINE = [
     "loop_detection",
     "merge_turns",
     "turn_edit_dist",
+    "entropy_features",
+    "preference_pairs",
 ]
 
 

@@ -39,6 +39,7 @@ __all__ = [
     "detect_degenerate_loops",
     "merge_consecutive_turns",
     "turn_edit_features",
+    "preference_pairs",
 ]
 
 
@@ -517,4 +518,106 @@ def turn_edit_features(
         F.round(F.lit(1.0) - dist.cast("double") / denom, 6).alias(
             "edit_sim"
         ),
+    )
+
+
+def preference_pairs(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+    min_candidates: int = 2,
+    min_gap_ppm: int = 0,
+) -> DataFrame:
+    """Best-of-n preference-pair mining (DPO/RLHF-style): across the whole
+    corpus, group every ``response_role`` turn by the text of its
+    immediately-preceding ``prompt_role`` turn; for prompts with ≥
+    ``min_candidates`` competing responses, emit (prompt, chosen,
+    rejected) where chosen/rejected are the best/worst response under a
+    deterministic, engine-portable score.
+
+    The score is EXACT INTEGER arithmetic — distinct-token ratio in parts
+    per million (``n_distinct_tokens * 1_000_000 DIV n_tokens``), with
+    (n_tokens, response text, conv, turn) as total-order tie-breaks — so
+    Spark's lexicographic ``max(struct(...))`` and a SQL engine's
+    ``row_number() OVER (ORDER BY ... DESC)`` pick the IDENTICAL winner;
+    no float comparison can flip the argmax between engines. The scorer
+    is a placeholder policy (swap in a reward-model score column at
+    production); the mining mechanics are the operator.
+
+    Plan shape: one lag window per conversation (prompt attach), then ONE
+    hash aggregate keyed on ``md5(prompt)`` — the 32-byte digest is the
+    shuffle key, never the raw prompt text (prompts can be KBs; at 100 TB
+    the narrow key is the difference between shuffling digests and
+    shuffling the corpus). min/max(struct) aggregate with map-side
+    partials — no second window, no self-join, no Python.
+
+    Output: ``prompt, n_candidates, chosen, rejected, chosen_ppm,
+    rejected_ppm``, one row per surviving prompt group.
+    """
+    w = Window.partitionBy(by).orderBy(order_col)
+    prev_role = F.lag(F.col(role_col)).over(w)
+    prev_text = F.lag(F.col(text_col)).over(w)
+    resp = (
+        df.select(
+            F.col(by),
+            F.col(order_col),
+            F.col(role_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__resp"),
+            prev_role.alias("__prole"),
+            F.coalesce(prev_text, F.lit("")).alias("__prompt"),
+        )
+        .where(
+            (F.col(role_col) == response_role)
+            & (F.col("__prole") == prompt_role)
+            & (F.length("__prompt") > 0)
+        )
+    )
+    toks = F.filter(F.split(F.trim(F.col("__resp")), r"\s+"), lambda x: x != "")
+    scored = resp.select(
+        F.md5(F.col("__prompt")).alias("__ph"),
+        F.col("__prompt"),
+        F.col("__resp"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__nd"),
+        F.size(toks).cast("long").alias("__nt"),
+        F.col(by),
+        F.col(order_col),
+    ).where(F.col("__nt") > 0)
+    scored = scored.withColumn(
+        "__ppm", F.expr("__nd * 1000000L DIV __nt")
+    )
+    rank_key = F.struct(
+        F.col("__ppm").alias("ppm"),
+        F.col("__nt").alias("nt"),
+        F.col("__resp").alias("resp"),
+        F.col(by).alias("c"),
+        F.col(order_col).alias("o"),
+    )
+    agg = scored.groupBy("__ph").agg(
+        F.min("__prompt").alias("prompt"),
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max(rank_key).alias("__best"),
+        F.min(rank_key).alias("__worst"),
+    )
+    return (
+        agg.where(
+            (F.col("n_candidates") >= min_candidates)
+            & (F.col("__best.resp") != F.col("__worst.resp"))
+            & (
+                F.col("__best.ppm") - F.col("__worst.ppm")
+                >= F.lit(int(min_gap_ppm))
+            )
+        )
+        .select(
+            "prompt",
+            "n_candidates",
+            F.col("__best.resp").alias("chosen"),
+            F.col("__worst.resp").alias("rejected"),
+            F.col("__best.ppm").alias("chosen_ppm"),
+            F.col("__worst.ppm").alias("rejected_ppm"),
+        )
     )

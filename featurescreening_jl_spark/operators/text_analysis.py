@@ -31,6 +31,8 @@ __all__ = [
     "mask_repeated_ngrams",
     "strip_markup",
     "pmi_bigrams",
+    "shannon_entropy",
+    "entropy_features",
 ]
 
 # Fixed public weights for the logistic quality scorer — a C4/Gopher-style
@@ -982,3 +984,83 @@ def pmi_bigrams(
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(top_k)
+
+
+def shannon_entropy(sorted_arr: Column) -> Column:
+    """Shannon entropy (bits) of the value distribution of a SORTED array,
+    as ONE run-length ``F.aggregate`` pass — no explode, no shuffle.
+
+    Standard algebra: with run lengths ``r_i`` over the sorted array and
+    ``n = Σ r_i``, ``H = -Σ (r_i/n)·log2(r_i/n) = log2(n) - (Σ r_i·log2(r_i))/n``,
+    so a single left fold that detects run boundaries (``x != prev``) and
+    accumulates ``r·log2(r)`` at each boundary computes it exactly.
+
+    The argument MUST be an already-projected column holding a sorted
+    array with no empty-string elements (project it once — passing the
+    ``array_sort(...)`` expression inline would re-evaluate it per
+    consumer, the HOF re-evaluation trap pinned in tests/test_plans.py).
+
+    100 TB: map-only, whole-stage-codegen'd; entropy of a 100k-char doc
+    is O(len) per row with zero extra rows materialized (the naive
+    explode→groupBy doubles the dataset's row count per char).
+    """
+    n = F.size(sorted_arr)
+    flush = lambda acc: F.when(
+        acc["run"] > 0,
+        acc["s"] + acc["run"].cast("double") * F.log2(acc["run"].cast("double")),
+    ).otherwise(acc["s"])
+    s = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(x == acc["prev"], acc["s"]).otherwise(flush(acc)).alias("s"),
+        ),
+        flush,
+    )
+    return F.when(
+        n > 0, F.log2(n.cast("double")) - s / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def entropy_features(
+    df: DataFrame,
+    *,
+    id_cols: tuple[str, ...] = ("doc_id",),
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document char- and token-level Shannon entropy (bits) — the
+    classic low-information / degenerate-text signal (near-zero char
+    entropy = single-char spam; low token entropy at high length =
+    boilerplate repetition). Complements `repetition_stats` (n-gram
+    level) and `quality_score` (heuristic logistic).
+
+    Both entropies come from :func:`shannon_entropy` over once-projected
+    sorted arrays — the whole operator is a two-step narrow projection
+    (scan → sort arrays → fold), zero shuffles, zero Python.
+
+    Output: ``id_cols…, n_chars, n_tokens, char_entropy, token_entropy``.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    chars = F.filter(F.split(F.col(text_col), ""), lambda x: x != "")
+    projected = df.select(
+        *[F.col(c) for c in id_cols],
+        F.array_sort(chars).alias("__cs"),
+        F.array_sort(toks).alias("__ts"),
+    )
+    return projected.select(
+        *[F.col(c) for c in id_cols],
+        F.size("__cs").cast("long").alias("n_chars"),
+        F.size("__ts").cast("long").alias("n_tokens"),
+        shannon_entropy(F.col("__cs")).alias("char_entropy"),
+        shannon_entropy(F.col("__ts")).alias("token_entropy"),
+    )

@@ -455,3 +455,107 @@ class TestTurnEditFeatures:
         # sort key) — no (conv, role) exchange
         assert plan.count("Exchange hashpartitioning") == 1
         assert "hashpartitioning(conv_id" in plan
+
+
+class TestPreferencePairs:
+    """Best-of-n preference mining (conversations.preference_pairs)."""
+
+    def _t(self, spark, rows):
+        return spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "text"]
+        )
+
+    def test_picks_best_and_worst_by_distinct_ppm(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            preference_pairs,
+        )
+
+        # three conversations answering the SAME prompt; distinct-token
+        # ratios: c1 = 4/4 (best), c2 = 2/4, c3 = 3/4
+        rows = [
+            ("c1", 0, "user", "what is spark"),
+            ("c1", 1, "assistant", "a fast cluster compute engine"),
+            ("c2", 0, "user", "what is spark"),
+            ("c2", 1, "assistant", "spark spark is is"),
+            ("c3", 0, "user", "what is spark"),
+            ("c3", 1, "assistant", "it is is distributed"),
+        ]
+        out = preference_pairs(self._t(spark, rows)).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["prompt"] == "what is spark"
+        assert r["n_candidates"] == 3
+        assert r["chosen"] == "a fast cluster compute engine"
+        assert r["rejected"] == "spark spark is is"
+        assert r["chosen_ppm"] == 1_000_000
+        assert r["rejected_ppm"] == 500_000
+
+    def test_group_needs_min_candidates_and_distinct_responses(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            preference_pairs,
+        )
+
+        rows = [
+            # lone response -> no pair
+            ("c1", 0, "user", "solo prompt"),
+            ("c1", 1, "assistant", "only answer"),
+            # two identical responses -> chosen == rejected -> dropped
+            ("c2", 0, "user", "dup prompt"),
+            ("c2", 1, "assistant", "same answer"),
+            ("c3", 0, "user", "dup prompt"),
+            ("c3", 1, "assistant", "same answer"),
+        ]
+        assert preference_pairs(self._t(spark, rows)).count() == 0
+
+    def test_only_prompt_role_to_response_role_adjacency(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            preference_pairs,
+        )
+
+        # assistant follows TOOL here, not user -> not a candidate
+        rows = [
+            ("c1", 0, "user", "q"),
+            ("c1", 1, "tool", "result blob"),
+            ("c1", 2, "assistant", "answer one two"),
+            ("c2", 0, "user", "q"),
+            ("c2", 1, "tool", "result blob"),
+            ("c2", 2, "assistant", "answer three four"),
+        ]
+        assert preference_pairs(self._t(spark, rows)).count() == 0
+
+    def test_min_gap_ppm_filter(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            preference_pairs,
+        )
+
+        # ratios 3/4 vs 4/4 -> gap 250_000 ppm
+        rows = [
+            ("c1", 0, "user", "p"),
+            ("c1", 1, "assistant", "w x y z"),
+            ("c2", 0, "user", "p"),
+            ("c2", 1, "assistant", "a a b c"),
+        ]
+        t = self._t(spark, rows)
+        assert preference_pairs(t, min_gap_ppm=250_000).count() == 1
+        assert preference_pairs(t, min_gap_ppm=250_001).count() == 0
+
+    def test_shuffle_key_is_digest_not_prompt(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            preference_pairs,
+        )
+
+        rows = [
+            ("c1", 0, "user", "p"),
+            ("c1", 1, "assistant", "a b"),
+            ("c2", 0, "user", "p"),
+            ("c2", 1, "assistant", "c d"),
+        ]
+        plan = (
+            preference_pairs(self._t(spark, rows))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the aggregate exchange hashes the md5 digest column, never the
+        # raw prompt text
+        assert "hashpartitioning(__ph" in plan

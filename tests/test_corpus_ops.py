@@ -442,3 +442,74 @@ class TestStripMarkup:
             spark, "<style>body{}</style>x<!-- <p>hidden</p> -->y"
         )
         assert out == "x y"
+
+
+class TestEntropyFeatures:
+    """Char/token Shannon entropy via the run-length fold
+    (text_analysis.shannon_entropy / entropy_features)."""
+
+    def _ent(self, items):
+        import math
+        from collections import Counter
+
+        n = len(items)
+        return -sum(
+            v / n * math.log2(v / n) for v in Counter(items).values()
+        )
+
+    def test_matches_direct_computation(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            entropy_features,
+        )
+
+        texts = [
+            "abc",
+            "aaaa",
+            "the cat sat on the mat the cat",
+            "  spaced   out  tokens ",
+            "xyxyxyxyxyxy zz",
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in entropy_features(df, id_cols=("doc_id",)).collect()
+        }
+        for i, t in enumerate(texts):
+            chars = list(t)
+            toks = [w for w in t.split() if w]
+            assert out[i]["n_chars"] == len(chars)
+            assert out[i]["n_tokens"] == len(toks)
+            assert abs(out[i]["char_entropy"] - self._ent(chars)) < 1e-9
+            assert abs(out[i]["token_entropy"] - self._ent(toks)) < 1e-9
+
+    def test_degenerate_and_uniform_bounds(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            entropy_features,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "aaaaaaaa"), (1, "abcdefgh")], ["doc_id", "text"]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in entropy_features(df, id_cols=("doc_id",)).collect()
+        }
+        # single-symbol text: H = 0; 8 distinct chars: H = 3 bits exactly
+        assert rows[0]["char_entropy"] == 0.0
+        assert abs(rows[1]["char_entropy"] - 3.0) < 1e-12
+
+    def test_no_shuffle_in_plan(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            entropy_features,
+        )
+
+        df = spark.createDataFrame([(0, "abc")], ["doc_id", "text"])
+        plan = (
+            entropy_features(df, id_cols=("doc_id",))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
