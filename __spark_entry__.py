@@ -2388,6 +2388,43 @@ def q_preference_pairs(spark, sf):
     return preference_pairs(t, min_candidates=2, min_gap_ppm=0)
 
 
+def q_leakage_split(spark, sf):
+    # Near-dup-closure-atomic train/val/test split: the exact n-gram
+    # Jaccard pair graph (same graph as dedup_cc) -> connected components
+    # -> portable md5 hash split keyed on the CLUSTER label, so no doc can
+    # straddle splits with its near-duplicates. The oracle replays the
+    # recursive-CTE components + the identical md5 range assignment.
+    from featurescreening_jl_spark.operators.dedup import (
+        leakage_safe_split,
+        ngram_jaccard_pairs_indexed,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
+    pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
+    out = leakage_safe_split(
+        docs,
+        pairs,
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        id_col="doc_id",
+    )
+    return out.select(
+        "doc_id", F.col("cluster_label").cast("long").alias("cluster_label"), "split"
+    )
+
+
+def q_response_latency(spark, sf):
+    # Per-conversation response-latency profile: event-time gap between
+    # each user turn and the immediately-following assistant turn, in
+    # exact integer microseconds (unix_micros both engines), aggregated
+    # to one row per conversation.
+    from featurescreening_jl_spark.operators.conversations import (
+        response_latency_features,
+    )
+
+    t = _transcripts(spark, sf)
+    return response_latency_features(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2504,6 +2541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_edit_dist": q_turn_edit_dist,
         "entropy_features": q_entropy_features,
         "preference_pairs": q_preference_pairs,
+        "leakage_split": q_leakage_split,
+        "response_latency": q_response_latency,
     }
 
 
@@ -5289,5 +5328,43 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT * FROM ranked WHERE rb = 1) b
         JOIN (SELECT * FROM ranked WHERE rw = 1) w USING (ph)
         WHERE b.n >= 2 AND b.resp <> w.resp AND b.ppm >= w.ppm
+    """
+    d["leakage_split"] = _CC_ORACLE_PREFIX + """
+        , comp AS (
+          SELECT id, min(r) AS component FROM reach GROUP BY id
+        ),
+        lab AS (
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id)::BIGINT AS cluster_label
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 4000) d
+          LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, cluster_label,
+               CASE WHEN u < 0.75::DOUBLE THEN 'train'
+                    WHEN u < 0.875::DOUBLE THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, cluster_label,
+                 ('0x' || substr(md5('42:' || cluster_label::VARCHAR), 1, 15))
+                     ::BIGINT / 1152921504606846976.0 AS u
+          FROM lab
+        )
+    """
+    d["response_latency"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        led AS (
+          SELECT conv_id, role,
+                 lead(role) OVER w AS nrole,
+                 epoch_us(lead(ts) OVER w) - epoch_us(ts) AS lat
+          FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id,
+               count(*)::BIGINT AS n_exchanges,
+               min(lat)::BIGINT AS min_latency_us,
+               round(avg(lat), 6) AS mean_latency_us,
+               max(lat)::BIGINT AS max_latency_us
+        FROM led
+        WHERE role = 'user' AND nrole = 'assistant'
+        GROUP BY conv_id
     """
     return d

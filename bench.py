@@ -144,6 +144,8 @@ HEADLINE = [
     "turn_edit_dist",
     "entropy_features",
     "preference_pairs",
+    "leakage_split",
+    "response_latency",
 ]
 
 

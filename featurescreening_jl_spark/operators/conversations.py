@@ -40,6 +40,7 @@ __all__ = [
     "merge_consecutive_turns",
     "turn_edit_features",
     "preference_pairs",
+    "response_latency_features",
 ]
 
 
@@ -620,4 +621,60 @@ def preference_pairs(
             F.col("__best.ppm").alias("chosen_ppm"),
             F.col("__worst.ppm").alias("rejected_ppm"),
         )
+    )
+
+
+def response_latency_features(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    prompt_role: str = "user",
+    response_role: str = "assistant",
+) -> DataFrame:
+    """Per-conversation response-latency profile: for every
+    ``prompt_role`` turn whose NEXT turn is ``response_role``, the
+    latency is the event-time gap between the two turns; aggregate to
+    one row per conversation (exchange count + min/mean/max latency).
+
+    The agent-analytics signal document-level features can't see — a
+    conversation whose assistant latencies blow up mid-session reads
+    very differently from one with uniform response times — and a
+    natural screening feature alongside `window_features`' lag/lead set.
+
+    One lead window + one hash aggregate, both keyed on ``by`` (the
+    window's sort carries ``order_col``) — a single conv-keyed exchange
+    end-to-end, no Python. Event-time arithmetic is exact integer
+    MICROSECONDS (``unix_micros`` / DuckDB ``epoch_us``; second-level
+    truncation would silently zero sub-second agent latencies), so the
+    aggregate is exact until the final mean.
+
+    Output: ``by, n_exchanges, min_latency_us, mean_latency_us,
+    max_latency_us``.
+    """
+    w = Window.partitionBy(by).orderBy(order_col)
+    nxt_role = F.lead(F.col(role_col)).over(w)
+    nxt_ts = F.lead(F.col(ts_col)).over(w)
+    # parquet transcripts carry TIMESTAMP_NTZ; unix_micros requires LTZ.
+    # The cast interprets NTZ in the session zone, which cancels in the
+    # difference (both endpoints shift by the same offset)
+    lat = F.unix_micros(nxt_ts.cast("timestamp_ltz")) - F.unix_micros(
+        F.col(ts_col).cast("timestamp_ltz")
+    )
+    pairs = df.select(
+        F.col(by),
+        F.col(role_col),
+        nxt_role.alias("__nrole"),
+        lat.alias("__lat"),
+    ).where(
+        (F.col(role_col) == prompt_role)
+        & (F.col("__nrole") == response_role)
+    )
+    return pairs.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_exchanges"),
+        F.min("__lat").alias("min_latency_us"),
+        F.round(F.avg("__lat"), 6).alias("mean_latency_us"),
+        F.max("__lat").alias("max_latency_us"),
     )

@@ -37,6 +37,7 @@ __all__ = [
     "keep_best_per_cluster",
     "minhash_lsh_pairs_incremental",
     "lsh_params",
+    "leakage_safe_split",
 ]
 
 
@@ -871,3 +872,63 @@ def lsh_params(
         if best is None or err < best[0]:
             best = (err, b, r)
     return best[1], best[2]
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    *,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    seed: int = 42,
+) -> DataFrame:
+    """Train/val/test split that is ATOMIC over near-duplicate closures:
+    no document can land in a different split from any of its (transitive)
+    near-duplicates, closing the classic eval-contamination hole where a
+    test example's near-copy sits in train.
+
+    Composition of the engine's existing primitives: ``pairs`` (any
+    near-dup pair relation — MinHash-LSH, SimHash, exact n-gram Jaccard)
+    → connected components (min reachable id per closure) → portable
+    ``hash_split`` keyed on the CLUSTER LABEL instead of the doc id.
+    Unpaired docs are their own singleton cluster (label = own id), so
+    the assignment marginally matches a plain hash split on them.
+
+    Plan shape at scale: CC runs over pair ids only (never text); the
+    label join is broadcast-able when the paired subset is small relative
+    to the corpus (the normal case — AQE picks it up); the split itself
+    is a map-side md5 expression. Deterministic in (pairs, seed) and
+    invariant to partitioning, so resuming a checkpointed pipeline
+    reproduces the identical split.
+
+    Output: ``id_col, cluster_label, split``.
+    """
+    from featurescreening_jl_spark.operators.graph import (
+        connected_components,
+    )
+    from featurescreening_jl_spark.operators.sampling import hash_split
+
+    a, b = pair_cols
+    cc = connected_components(
+        pairs.select(F.col(a).alias("id_a"), F.col(b).alias("id_b")),
+        "id_a",
+        "id_b",
+    )
+    labeled = (
+        docs.select(id_col)
+        .join(
+            cc.select(F.col("id").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias(
+                "cluster_label"
+            ),
+        )
+    )
+    return hash_split(
+        labeled, weights, key_col="cluster_label", seed=seed
+    )

@@ -559,3 +559,66 @@ class TestPreferencePairs:
         # the aggregate exchange hashes the md5 digest column, never the
         # raw prompt text
         assert "hashpartitioning(__ph" in plan
+
+
+class TestResponseLatency:
+    """Per-conversation response-latency profile
+    (conversations.response_latency_features)."""
+
+    def test_latency_math_and_pair_selection(self, spark):
+        import datetime as dt
+
+        from featurescreening_jl_spark.operators.conversations import (
+            response_latency_features,
+        )
+
+        t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+        def ts(us):
+            return t0 + dt.timedelta(microseconds=us)
+
+        rows = [
+            # c1: two user->assistant exchanges (1.5 s then 250 ms) and
+            # one user->tool adjacency that must NOT count
+            ("c1", 0, "user", ts(0)),
+            ("c1", 1, "assistant", ts(1_500_000)),
+            ("c1", 2, "user", ts(2_000_000)),
+            ("c1", 3, "assistant", ts(2_250_000)),
+            ("c1", 4, "user", ts(3_000_000)),
+            ("c1", 5, "tool", ts(9_000_000)),
+            # c2: no qualifying adjacency at all
+            ("c2", 0, "assistant", ts(0)),
+            ("c2", 1, "user", ts(1)),
+        ]
+        df = spark.createDataFrame(
+            rows, ["conv_id", "turn_idx", "role", "ts"]
+        )
+        out = {
+            r["conv_id"]: r
+            for r in response_latency_features(df).collect()
+        }
+        assert set(out) == {"c1"}
+        r = out["c1"]
+        assert r["n_exchanges"] == 2
+        assert r["min_latency_us"] == 250_000
+        assert r["max_latency_us"] == 1_500_000
+        assert r["mean_latency_us"] == 875_000.0
+
+    def test_single_conv_exchange(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            response_latency_features,
+        )
+
+        plan = (
+            response_latency_features(
+                spark.createDataFrame(
+                    [("c", 0, "user", None)],
+                    "conv_id string, turn_idx int, role string, ts timestamp",
+                )
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # window + aggregate both key on conv_id: one exchange only
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -443,3 +443,73 @@ class TestQualityClassifier:
 
         with _pytest.raises(ValueError):
             quality_classifier_scores(self._docs(spark), [])
+
+
+class TestLeakageSafeSplit:
+    """Near-dup-closure-atomic splitting (dedup.leakage_safe_split)."""
+
+    def test_cluster_members_share_split_and_singletons_match_plain(
+        self, spark
+    ):
+        from featurescreening_jl_spark.operators.dedup import (
+            leakage_safe_split,
+        )
+        from featurescreening_jl_spark.operators.sampling import hash_split
+
+        docs = spark.createDataFrame(
+            [(i,) for i in range(20)], ["doc_id"]
+        )
+        # two closures: {0,1,2} (transitive through 1) and {7,8}
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (7, 8)], ["id_a", "id_b"]
+        )
+        w = {"train": 0.75, "val": 0.125, "test": 0.125}
+        out = {
+            r["doc_id"]: r
+            for r in leakage_safe_split(docs, pairs, w).collect()
+        }
+        assert len(out) == 20
+        # closure atomicity
+        assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+        assert out[7]["split"] == out[8]["split"]
+        assert (
+            out[0]["cluster_label"]
+            == out[1]["cluster_label"]
+            == out[2]["cluster_label"]
+            == 0
+        )
+        # singletons carry their own id and match a plain hash split
+        plain = {
+            r["doc_id"]: r["split"]
+            for r in hash_split(
+                docs.selectExpr("doc_id", "doc_id AS cluster_label"),
+                w,
+                key_col="cluster_label",
+            ).collect()
+        }
+        for i in set(range(20)) - {0, 1, 2, 7, 8}:
+            assert out[i]["cluster_label"] == i
+            assert out[i]["split"] == plain[i]
+
+    def test_deterministic_across_partitionings(self, spark):
+        from featurescreening_jl_spark.operators.dedup import (
+            leakage_safe_split,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(50)], ["doc_id"])
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 10, 2)], ["id_a", "id_b"]
+        )
+        w = {"train": 0.9, "val": 0.1}
+        a = sorted(
+            map(tuple, leakage_safe_split(docs, pairs, w).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                leakage_safe_split(
+                    docs.repartition(17), pairs.repartition(3), w
+                ).collect(),
+            )
+        )
+        assert a == b
