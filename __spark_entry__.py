@@ -2425,6 +2425,44 @@ def q_response_latency(spark, sf):
     return response_latency_features(t)
 
 
+def q_tool_usage(spark, sf):
+    # Per-conversation agent tool-usage profile: counts, ratio, distinct
+    # tools, and the modal tool under a deterministic (count desc, name
+    # asc) tie-break that both engines replay identically.
+    from featurescreening_jl_spark.operators.conversations import (
+        tool_usage_features,
+    )
+
+    t = _transcripts(spark, sf)
+    return tool_usage_features(t)
+
+
+def q_context_budget(spark, sf):
+    # Per-turn context-window occupancy: how many trailing turns fit in a
+    # 2000-token window ending at each turn, via the tie-free RANGE frame
+    # over the strictly-increasing running token sum (no self-join).
+    from featurescreening_jl_spark.operators.conversations import (
+        context_budget_features,
+    )
+
+    t = _transcripts(spark, sf)
+    return context_budget_features(t, 2000)
+
+
+def q_soft_dedup(spark, sf):
+    # Soft dedup: 1/cluster_size sampling weight over the same exact
+    # n-gram Jaccard closure leakage_split uses; the oracle replays the
+    # recursive-CTE components plus the window count.
+    from featurescreening_jl_spark.operators.dedup import (
+        ngram_jaccard_pairs_indexed,
+        soft_dedup_weights,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
+    pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
+    return soft_dedup_weights(docs, pairs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2543,6 +2581,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": q_preference_pairs,
         "leakage_split": q_leakage_split,
         "response_latency": q_response_latency,
+        "tool_usage": q_tool_usage,
+        "context_budget": q_context_budget,
+        "soft_dedup": q_soft_dedup,
     }
 
 
@@ -5366,5 +5407,75 @@ def oracle_sql() -> dict[str, str]:
         FROM led
         WHERE role = 'user' AND nrole = 'assistant'
         GROUP BY conv_id
+    """
+    d["tool_usage"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        base AS (
+          SELECT conv_id, count(*)::BIGINT AS n_turns,
+                 count(tool)::BIGINT AS n_tool_calls,
+                 count(DISTINCT tool)::BIGINT AS n_distinct_tools,
+                 round(count(tool)::DOUBLE / count(*), 6) AS tool_call_ratio
+          FROM t GROUP BY conv_id
+        ),
+        pt AS (
+          SELECT conv_id, tool, count(*)::BIGINT AS n FROM t
+          WHERE tool IS NOT NULL GROUP BY conv_id, tool
+        ),
+        top AS (
+          SELECT conv_id, tool AS top_tool, n AS top_tool_calls FROM (
+            SELECT *, row_number() OVER (PARTITION BY conv_id
+                                         ORDER BY n DESC, tool ASC) AS r
+            FROM pt
+          ) WHERE r = 1
+        )
+        SELECT base.*, top.top_tool, top.top_tool_calls
+        FROM base LEFT JOIN top USING (conv_id)
+    """
+    d["context_budget"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        tok AS (
+          SELECT conv_id, turn_idx,
+                 greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE length(regexp_split_to_array(trim(text),
+                                                            '\\s+')) END,
+                          1)::BIGINT AS turn_tokens
+          FROM t
+        ),
+        cum AS (
+          SELECT conv_id, turn_idx, turn_tokens,
+                 sum(turn_tokens) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 )::BIGINT AS cum_tokens
+          FROM tok
+        )
+        SELECT conv_id, turn_idx, turn_tokens, cum_tokens,
+               (count(*) OVER w - 1
+                + CASE WHEN cum_tokens <= 2000 THEN 1 ELSE 0 END)::INT
+                   AS ctx_turns,
+               (cum_tokens
+                - CASE WHEN cum_tokens <= 2000 THEN 0
+                       ELSE min(cum_tokens) OVER w END)::BIGINT
+                   AS ctx_tokens
+        FROM cum
+        WINDOW w AS (PARTITION BY conv_id ORDER BY cum_tokens
+                     RANGE BETWEEN 2000 PRECEDING AND CURRENT ROW)
+    """
+    d["soft_dedup"] = _CC_ORACLE_PREFIX + """
+        , comp AS (
+          SELECT id, min(r) AS component FROM reach GROUP BY id
+        ),
+        lab AS (
+          SELECT d.doc_id,
+                 coalesce(c.component, d.doc_id)::BIGINT AS cluster_label
+          FROM (SELECT doc_id FROM documents WHERE doc_id < 4000) d
+          LEFT JOIN comp c ON c.id = d.doc_id
+        )
+        SELECT doc_id, cluster_label,
+               count(*) OVER (PARTITION BY cluster_label)::BIGINT
+                   AS cluster_size,
+               round(1.0 / count(*) OVER (PARTITION BY cluster_label), 6)
+                   AS weight
+        FROM lab
     """
     return d

@@ -146,6 +146,9 @@ HEADLINE = [
     "preference_pairs",
     "leakage_split",
     "response_latency",
+    "tool_usage",
+    "context_budget",
+    "soft_dedup",
 ]
 
 

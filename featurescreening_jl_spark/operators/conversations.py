@@ -41,6 +41,8 @@ __all__ = [
     "turn_edit_features",
     "preference_pairs",
     "response_latency_features",
+    "tool_usage_features",
+    "context_budget_features",
 ]
 
 
@@ -677,4 +679,137 @@ def response_latency_features(
         F.min("__lat").alias("min_latency_us"),
         F.round(F.avg("__lat"), 6).alias("mean_latency_us"),
         F.max("__lat").alias("max_latency_us"),
+    )
+
+
+def tool_usage_features(
+    df: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    tool_col: str = "tool",
+) -> DataFrame:
+    """Per-conversation agent tool-usage profile: turn count, tool-call
+    count and ratio, distinct tools, and the modal tool (deterministic
+    tie-break: higher count, then lexicographically-smaller name).
+
+    The agent-analytics companion to :func:`role_transition_stats` —
+    screening features for "how tool-heavy is this session" that the
+    reference's per-sample feature rows can't derive from text alone
+    (reference scope: feature columns fed to
+    `/root/reference/src/FeatureScreening.jl:88-104`).
+
+    Plan shape at scale: two hash aggregates, both keyed on
+    ``conv_col`` (partial aggregation map-side, so the shuffle carries
+    pre-combined counters, not turns); the modal-tool window runs over
+    the per-(conv, tool) aggregate — bounded by |tools| rows per
+    conversation — and the final join is between two conv-keyed
+    aggregates AQE can co-partition. NULL ``tool_col`` marks a
+    non-tool turn (the transcripts contract); ``count(tool)`` skips
+    NULLs by SQL semantics, which is exactly the tool-call count.
+
+    Output: ``conv_col, n_turns, n_tool_calls, n_distinct_tools,
+    tool_call_ratio, top_tool, top_tool_calls`` (``top_*`` NULL for
+    conversations with no tool calls).
+    """
+    base = df.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.count(tool_col).alias("n_tool_calls"),
+        F.countDistinct(tool_col).alias("n_distinct_tools"),
+        F.round(F.count(tool_col) / F.count(F.lit(1)), 6).alias(
+            "tool_call_ratio"
+        ),
+    )
+    per_tool = (
+        df.where(F.col(tool_col).isNotNull())
+        .groupBy(conv_col, tool_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy(conv_col).orderBy(
+        F.col("__n").desc(), F.col(tool_col).asc()
+    )
+    top = (
+        per_tool.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select(
+            F.col(conv_col),
+            F.col(tool_col).alias("top_tool"),
+            F.col("__n").alias("top_tool_calls"),
+        )
+    )
+    return base.join(top, conv_col, "left")
+
+
+def context_budget_features(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-turn context-window occupancy: for every turn, how many
+    trailing turns (including itself) fit inside a ``budget_tokens``
+    context window ending at that turn, and how many tokens that
+    maximal window holds. This is the primitive behind context-assembly
+    decisions in SFT-pair mining and packing — "at this point in the
+    conversation, how much usable history is there?".
+
+    Exact, and computed WITHOUT a self-join or per-group Python: each
+    turn costs ``max(token_count, 1)`` tokens (every turn carries at
+    least its role overhead, and the floor makes the running sum
+    STRICTLY increasing, which both defines tie-free RANGE frames and
+    bounds the frame correctly). Over the running sum ``cum``, the
+    turns j..i fit in the budget iff ``cum[i] - cum[j-1] <= B``, so the
+    fitting start positions map to rows of the numeric RANGE frame
+    ``[cum[i]-B, cum[i]]`` — shifted by one: the current row stands for
+    the empty window (subtract it) and the virtual ``cum = 0`` row
+    standing for the whole-prefix window lies outside the table (add it
+    back exactly when ``cum[i] <= B``). The maximal window's token
+    total is ``cum[i] - min(cum over frame)``, floored to the full
+    ``cum[i]`` under the same whole-prefix condition.
+
+    Plan shape at scale: two window passes, both partitioned by
+    ``conv_col`` — ONE exchange; the second window's sort key (the
+    running sum) is monotone in the first's (``order_col``), so the
+    in-partition re-sort is a no-op pass over already-ordered runs.
+    Zero joins, zero Python, rows never widen beyond 4 numeric columns.
+
+    Output: ``conv_col, order_col, turn_tokens, cum_tokens, ctx_turns,
+    ctx_tokens``.
+    """
+    tok = F.greatest(token_count(F.col(text_col)), F.lit(1))
+    wcum = (
+        Window.partitionBy(conv_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.select(
+        F.col(conv_col),
+        F.col(order_col),
+        tok.cast("long").alias("turn_tokens"),
+    ).withColumn("cum_tokens", F.sum("turn_tokens").over(wcum))
+    wb = (
+        Window.partitionBy(conv_col)
+        .orderBy("cum_tokens")
+        .rangeBetween(-int(budget_tokens), 0)
+    )
+    whole_prefix = (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+    return cum.select(
+        conv_col,
+        order_col,
+        "turn_tokens",
+        "cum_tokens",
+        (
+            F.count(F.lit(1)).over(wb)
+            - 1
+            + whole_prefix.cast("long")
+        )
+        .cast("int")
+        .alias("ctx_turns"),
+        (
+            F.col("cum_tokens")
+            - F.when(whole_prefix, F.lit(0)).otherwise(
+                F.min("cum_tokens").over(wb)
+            )
+        ).alias("ctx_tokens"),
     )

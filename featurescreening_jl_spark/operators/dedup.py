@@ -19,7 +19,7 @@ shuffle/join Catalyst can plan — never a driver-side loop:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -38,6 +38,7 @@ __all__ = [
     "minhash_lsh_pairs_incremental",
     "lsh_params",
     "leakage_safe_split",
+    "soft_dedup_weights",
 ]
 
 
@@ -490,8 +491,6 @@ def simhash_dedup(
     picked with a min-over-partition window (one shuffle on the hash) —
     the groupBy+self-join formulation evaluated the shingle aggregation on
     both join sides (measured 2×)."""
-    from pyspark.sql import Window
-
     with_h = df.withColumn(
         "__sim", simhash(F.col(text_col), num_bits=num_bits, portable=portable)
     )
@@ -931,4 +930,67 @@ def leakage_safe_split(
     )
     return hash_split(
         labeled, weights, key_col="cluster_label", seed=seed
+    )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, assign
+    every document a sampling weight ``1 / cluster_size`` over its
+    transitive near-duplicate closure, so a training-data sampler sees
+    each distinct content item with equal total mass no matter how many
+    near-copies exist. The DataComp/SemDeDup-style alternative to hard
+    dedup when duplicates carry signal (popular content) but must not
+    dominate the mixture; composes directly with ``weighted_mix`` /
+    ``weighted_reservoir`` downstream.
+
+    Same closure machinery as :func:`leakage_safe_split` (any pair
+    relation → connected components → singleton fallback to own id),
+    but the output keeps ALL rows and adds mass instead of assigning
+    splits.
+
+    Plan shape at scale: CC runs over pair ids only; the label join is
+    AQE-broadcast-able (paired subset ≪ corpus); cluster sizing is one
+    count-over-window on the 2-column (id, label) relation — a single
+    narrow shuffle keyed on the label, no second join. Deterministic
+    in ``pairs`` and invariant to partitioning.
+
+    Output: ``id_col, cluster_label, cluster_size, weight``.
+    """
+    from featurescreening_jl_spark.operators.graph import (
+        connected_components,
+    )
+
+    a, b = pair_cols
+    cc = connected_components(
+        pairs.select(F.col(a).alias("id_a"), F.col(b).alias("id_b")),
+        "id_a",
+        "id_b",
+    )
+    labeled = (
+        docs.select(id_col)
+        .join(
+            cc.select(F.col("id").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col))
+            .cast("long")
+            .alias("cluster_label"),
+        )
+    )
+    wsz = Window.partitionBy("cluster_label")
+    size = F.count(F.lit(1)).over(wsz)
+    return labeled.select(
+        id_col,
+        "cluster_label",
+        size.alias("cluster_size"),
+        F.round(F.lit(1.0) / size, 6).alias("weight"),
     )

@@ -622,3 +622,103 @@ class TestResponseLatency:
         )
         # window + aggregate both key on conv_id: one exchange only
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestToolUsage:
+    """Per-conversation tool-usage profile
+    (conversations.tool_usage_features)."""
+
+    def test_counts_ratio_and_modal_tool(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            tool_usage_features,
+        )
+
+        rows = [
+            # c1: 4 turns, 2 tool calls (bash, bash) -> top bash
+            ("c1", "user", None),
+            ("c1", "tool", "bash"),
+            ("c1", "tool", "bash"),
+            ("c1", "assistant", None),
+            # c2: tie between bash and sql (1 each) -> lexicographic bash
+            ("c2", "tool", "sql"),
+            ("c2", "tool", "bash"),
+            # c3: no tool calls at all -> NULL top_tool
+            ("c3", "user", None),
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "role", "tool"])
+        out = {r["conv_id"]: r for r in tool_usage_features(df).collect()}
+        assert out["c1"]["n_turns"] == 4
+        assert out["c1"]["n_tool_calls"] == 2
+        assert out["c1"]["n_distinct_tools"] == 1
+        assert out["c1"]["tool_call_ratio"] == 0.5
+        assert out["c1"]["top_tool"] == "bash"
+        assert out["c1"]["top_tool_calls"] == 2
+        # deterministic tie-break: equal counts -> smaller name wins
+        assert out["c2"]["top_tool"] == "bash"
+        assert out["c3"]["n_tool_calls"] == 0
+        assert out["c3"]["top_tool"] is None
+        assert out["c3"]["tool_call_ratio"] == 0.0
+
+
+class TestContextBudget:
+    """Per-turn context-window occupancy
+    (conversations.context_budget_features)."""
+
+    def test_window_arithmetic(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        # token counts per turn: 3, 4, 5, 12, 1  (budget 9)
+        rows = [
+            ("c", 0, "a b c"),
+            ("c", 1, "a b c d"),
+            ("c", 2, "a b c d e"),
+            ("c", 3, " ".join(["x"] * 12)),
+            ("c", 4, "y"),
+            # empty text floors to 1 token
+            ("d", 0, "   "),
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+        out = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in context_budget_features(df, 9).collect()
+        }
+        # turn 0: itself (3 <= 9)
+        assert out[("c", 0)]["ctx_turns"] == 1
+        assert out[("c", 0)]["ctx_tokens"] == 3
+        # turn 1: 3+4=7 <= 9 -> both fit
+        assert out[("c", 1)]["ctx_turns"] == 2
+        assert out[("c", 1)]["ctx_tokens"] == 7
+        # turn 2: 4+5=9 fits, 3+4+5=12 doesn't
+        assert out[("c", 2)]["ctx_turns"] == 2
+        assert out[("c", 2)]["ctx_tokens"] == 9
+        # turn 3: 12 > 9 -> not even the current turn fits
+        assert out[("c", 3)]["ctx_turns"] == 0
+        assert out[("c", 3)]["ctx_tokens"] == 0
+        # turn 4: 1 <= 9 but 12+1 > 9 -> only itself
+        assert out[("c", 4)]["ctx_turns"] == 1
+        assert out[("c", 4)]["ctx_tokens"] == 1
+        # blank turn costs the 1-token floor
+        assert out[("d", 0)]["turn_tokens"] == 1
+        assert out[("d", 0)]["ctx_turns"] == 1
+
+    def test_single_exchange_plan(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        plan = (
+            context_budget_features(
+                spark.createDataFrame(
+                    [("c", 0, "x")],
+                    "conv_id string, turn_idx int, text string",
+                ),
+                100,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # both windows key on conv_id: exactly one shuffle end-to-end
+        assert plan.count("Exchange hashpartitioning") == 1

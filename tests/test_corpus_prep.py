@@ -513,3 +513,56 @@ class TestLeakageSafeSplit:
             )
         )
         assert a == b
+
+
+class TestSoftDedupWeights:
+    """Cluster-size sampling weights (dedup.soft_dedup_weights)."""
+
+    def test_cluster_mass_is_uniform_per_distinct_item(self, spark):
+        from featurescreening_jl_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+        # closures: {0,1,2,3} (chain) and {9,10}; rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (9, 10)], ["id_a", "id_b"]
+        )
+        out = {
+            r["doc_id"]: r for r in soft_dedup_weights(docs, pairs).collect()
+        }
+        assert len(out) == 12
+        for i in (0, 1, 2, 3):
+            assert out[i]["cluster_label"] == 0
+            assert out[i]["cluster_size"] == 4
+            assert out[i]["weight"] == 0.25
+        for i in (9, 10):
+            assert out[i]["cluster_label"] == 9
+            assert out[i]["cluster_size"] == 2
+            assert out[i]["weight"] == 0.5
+        singles = set(range(12)) - {0, 1, 2, 3, 9, 10}
+        for i in singles:
+            assert out[i]["cluster_label"] == i
+            assert out[i]["cluster_size"] == 1
+            assert out[i]["weight"] == 1.0
+        # total mass == number of distinct content items (closures)
+        total = sum(r["weight"] for r in out.values())
+        assert abs(total - (2 + len(singles))) < 1e-9
+
+    def test_composes_with_weighted_reservoir_schema(self, spark):
+        # the advertised downstream composition: weights feed the
+        # weighted sampler without reshaping
+        from featurescreening_jl_spark.operators.dedup import (
+            soft_dedup_weights,
+        )
+        from featurescreening_jl_spark.operators.sampling import (
+            weighted_reservoir,
+        )
+
+        docs = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+        pairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+        w = soft_dedup_weights(docs, pairs)
+        picked = weighted_reservoir(
+            w, k=5, weight_col="weight", key_col="doc_id", seed=7
+        )
+        assert picked.count() == 5
