@@ -2197,6 +2197,10 @@ def q_conv_neardup(spark, sf):
         # rendered conversations are ~100× longer than documents and sit
         # atop a join+window+groupBy plan: shingle once, not per branch
         checkpoint_shingles=True,
+        # long-document scale path: band + screen in 64-bit hash space,
+        # exact string Jaccard only on screened survivors (output values
+        # identical to the exact path — the oracle stays all-pairs exact)
+        hashed_verify=True,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 

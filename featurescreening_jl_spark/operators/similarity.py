@@ -29,6 +29,7 @@ __all__ = [
     "cosine_neardup_pairs",
     "project_embeddings",
     "projection_matrix",
+    "pool_embeddings",
 ]
 
 
@@ -266,3 +267,76 @@ def cosine_neardup_pairs(
         .select("id_a", "id_b", "similarity")
     )
     return pairs
+
+
+def pool_embeddings(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+    out_col: str = "pooled",
+) -> DataFrame:
+    """Group-level embedding pooling: element-wise MEAN of every
+    ``vec_col`` vector in the group, optionally L2-normalized. The
+    primitive that lifts turn/document embeddings to conversation (or
+    source/domain) level so the conversation-granular operators —
+    semantic dedup, ANN retrieval, cluster-balanced sampling — can run
+    on one vector per group.
+
+    Plan shape at scale: ONE hash aggregate keyed on ``by``. The naive
+    posexplode→groupBy(by, pos) multiplies the shuffle by the embedding
+    dimension; instead the vectors fold INSIDE the aggregate via
+    ``zip_with`` over a bounded ``collect_list`` (bounded by group size —
+    turns per conversation, the same contract render_chat relies on),
+    so the shuffle carries map-side-combined partial lists, and the fold
+    plus the final normalize are single codegen'd HOF expressions. Empty
+    or NULL vectors are excluded from both the sum and the divisor.
+
+    Output: ``by, n_vectors, out_col`` (``array<double>``; NULL pooled
+    vector only if the group had no usable vectors).
+    """
+    vecs = F.collect_list(
+        F.when(F.size(F.col(vec_col)) > 0, F.col(vec_col).cast("array<double>"))
+    )
+    agg = df.groupBy(by).agg(
+        vecs.alias("__vs"),
+        F.count(F.when(F.size(F.col(vec_col)) > 0, 1)).alias("n_vectors"),
+    )
+    summed = F.aggregate(
+        F.col("__vs"),
+        F.transform(
+            F.element_at(F.col("__vs"), 1), lambda _: F.lit(0.0)
+        ),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    mean = F.transform(summed, lambda s: s / F.col("n_vectors"))
+    agg = agg.where(F.col("n_vectors") > 0).withColumn("__mean", mean)
+    if not normalize:
+        return agg.select(
+            by,
+            "n_vectors",
+            F.transform(
+                F.col("__mean"), lambda x: F.round(x, 9)
+            ).alias(out_col),
+        )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("__mean"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        agg.withColumn("__norm", nrm)
+        .select(
+            by,
+            "n_vectors",
+            F.when(
+                F.col("__norm") > 0,
+                F.transform(
+                    F.col("__mean"), lambda x: F.round(x / F.col("__norm"), 9)
+                ),
+            ).alias(out_col),
+        )
+    )

@@ -513,3 +513,123 @@ class TestEntropyFeatures:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestHashedVerify:
+    """Two-tier hashed_verify path of minhash_lsh_pairs."""
+
+    def _corpus(self, spark):
+        from pyspark.sql import functions as F
+
+        base = [
+            (i, " ".join(f"w{(i * 37 + j * 11) % 211}" for j in range(60)))
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(base, ["doc_id", "text"])
+        clones = df.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            # drop the last few words: near-dup, not exact
+            F.concat_ws(
+                " ", F.slice(F.split("text", " "), 1, 55)
+            ).alias("text"),
+        )
+        return df.unionByName(clones)
+
+    def test_identical_output_to_exact_path(self, spark):
+        from featurescreening_jl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        corpus = self._corpus(spark)
+        kw = dict(jaccard_threshold=0.7, num_hashes=64, bands=16)
+        exact = sorted(
+            map(tuple, minhash_lsh_pairs(corpus, **kw).collect())
+        )
+        hashed = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs(
+                    corpus, hashed_verify=True, **kw
+                ).collect(),
+            )
+        )
+        assert len(exact) >= 4  # non-vacuous: the clone pairs exist
+        assert hashed == exact
+
+    def test_shingles_hashed_matches_string_level1_cardinality(self, spark):
+        # shingles_hashed must produce the same SET SIZE as hashing the
+        # string shingles (bijection between token triples and joined
+        # strings), though the hash values themselves differ
+        from pyspark.sql import functions as F
+
+        from featurescreening_jl_spark.operators.dedup import (
+            shingles,
+            shingles_hashed,
+        )
+
+        df = self._corpus(spark)
+        bad = df.select(
+            (
+                F.size(shingles_hashed(F.col("text"), n=3))
+                != F.size(shingles(F.col("text"), n=3))
+            ).alias("mismatch")
+        ).where("mismatch")
+        assert bad.count() == 0
+
+    def test_exact_string_jaccard_decides_boundary(self, spark):
+        # a pair whose true Jaccard is just UNDER threshold must not be
+        # emitted by the hashed path even though the screen (threshold -
+        # margin) lets it through to tier 2
+        from featurescreening_jl_spark.operators.dedup import (
+            minhash_lsh_pairs,
+        )
+
+        words_a = [f"t{j}" for j in range(40)]
+        # overlap chosen so shingle Jaccard lands between
+        # (threshold - margin) and threshold
+        words_b = words_a[:30] + [f"u{j}" for j in range(10)]
+        df = spark.createDataFrame(
+            [(1, " ".join(words_a)), (2, " ".join(words_b))],
+            ["doc_id", "text"],
+        )
+        from featurescreening_jl_spark.operators.dedup import shingles
+        from pyspark.sql import functions as F
+
+        j = (
+            df.alias("a")
+            .crossJoin(df.alias("b"))
+            .where("a.doc_id < b.doc_id")
+            .select(
+                (
+                    F.size(
+                        F.array_intersect(
+                            shingles(F.col("a.text")),
+                            shingles(F.col("b.text")),
+                        )
+                    )
+                    / F.size(
+                        F.array_union(
+                            shingles(F.col("a.text")),
+                            shingles(F.col("b.text")),
+                        )
+                    )
+                ).alias("j")
+            )
+            .first()["j"]
+        )
+        thr = j + 0.02  # true jaccard sits 0.02 under the threshold
+        out = minhash_lsh_pairs(
+            df,
+            jaccard_threshold=thr,
+            screen_margin=0.1,
+            hashed_verify=True,
+        )
+        assert out.count() == 0
+        # and with the threshold just below, the pair IS found
+        out2 = minhash_lsh_pairs(
+            df,
+            jaccard_threshold=j - 0.02,
+            screen_margin=0.1,
+            hashed_verify=True,
+        )
+        assert out2.count() == 1
