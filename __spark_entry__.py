@@ -2467,6 +2467,30 @@ def q_soft_dedup(spark, sf):
     return soft_dedup_weights(docs, pairs)
 
 
+def q_pool_embeddings(spark, sf):
+    # Group-level embedding pooling (turn/doc -> conversation/source):
+    # element-wise mean + L2 normalize, folded INSIDE one hash aggregate
+    # via zip_with (the posexplode route multiplies the shuffle by the
+    # embedding dimension). Exploded to scalar rows for the compare, the
+    # established array-result pattern (see q_project_embeddings).
+    from featurescreening_jl_spark.operators.similarity import (
+        pool_embeddings,
+    )
+
+    emb = _t(spark, sf, "embeddings").select(
+        (F.col("vec_id") % 50).alias("grp"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out = pool_embeddings(emb, by="grp", vec_col="embedding")
+    return out.select(
+        "grp",
+        "n_vectors",
+        F.posexplode("pooled").alias("dim_idx", "val"),
+    ).select(
+        "grp", "n_vectors", "dim_idx", F.round("val", 6).alias("val")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2588,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_usage": q_tool_usage,
         "context_budget": q_context_budget,
         "soft_dedup": q_soft_dedup,
+        "pool_embeddings": q_pool_embeddings,
     }
 
 
@@ -5411,6 +5436,29 @@ def oracle_sql() -> dict[str, str]:
         FROM led
         WHERE role = 'user' AND nrole = 'assistant'
         GROUP BY conv_id
+    """
+    d["pool_embeddings"] = """
+        WITH e AS (
+          SELECT vec_id % 50 AS grp, embedding::DOUBLE[] AS v
+          FROM embeddings WHERE len(embedding) > 0
+        ),
+        ex AS (
+          SELECT grp, (generate_subscripts(v, 1) - 1)::INT AS dim_idx,
+                 unnest(v) AS x
+          FROM e
+        ),
+        m AS (
+          SELECT grp, dim_idx, avg(x) AS mx FROM ex GROUP BY grp, dim_idx
+        ),
+        nrm AS (
+          SELECT grp, sqrt(sum(mx * mx)) AS n2 FROM m GROUP BY grp
+        ),
+        cnt AS (
+          SELECT grp, count(*)::BIGINT AS n_vectors FROM e GROUP BY grp
+        )
+        SELECT m.grp, cnt.n_vectors, m.dim_idx,
+               round(round(m.mx / nrm.n2, 9), 6) AS val
+        FROM m JOIN nrm USING (grp) JOIN cnt USING (grp)
     """
     d["tool_usage"] = f"""
         WITH t AS ({_TRANSCRIPTS_SQL}),

@@ -149,6 +149,7 @@ HEADLINE = [
     "tool_usage",
     "context_budget",
     "soft_dedup",
+    "pool_embeddings",
 ]
 
 

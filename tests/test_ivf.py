@@ -146,3 +146,54 @@ class TestQuery:
     def test_dim_required(self, embeddings, centroids):
         with pytest.raises(ValueError, match="dim"):
             ivf_topk(embeddings, self._queries(embeddings), centroids=centroids)
+
+
+class TestPoolEmbeddings:
+    """Group-level embedding pooling (similarity.pool_embeddings)."""
+
+    def test_mean_pool_and_normalize(self, spark):
+        import math
+
+        from featurescreening_jl_spark.operators.similarity import (
+            pool_embeddings,
+        )
+
+        rows = [
+            ("g1", [1.0, 0.0]),
+            ("g1", [0.0, 1.0]),
+            ("g2", [3.0, 4.0]),
+            ("g3", []),  # no usable vectors -> dropped
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "embedding"])
+        out = {r["conv_id"]: r for r in pool_embeddings(df).collect()}
+        assert set(out) == {"g1", "g2"}
+        # g1 mean = (0.5, 0.5) -> normalized (1/sqrt2, 1/sqrt2)
+        v = out["g1"]["pooled"]
+        assert out["g1"]["n_vectors"] == 2
+        assert abs(v[0] - 1 / math.sqrt(2)) < 1e-8
+        assert abs(v[1] - 1 / math.sqrt(2)) < 1e-8
+        # g2 single vector normalizes to (0.6, 0.8)
+        w = out["g2"]["pooled"]
+        assert abs(w[0] - 0.6) < 1e-8 and abs(w[1] - 0.8) < 1e-8
+
+    def test_unnormalized_mean_and_single_aggregate_plan(self, spark):
+        from featurescreening_jl_spark.operators.similarity import (
+            pool_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [("g", [2.0, 4.0]), ("g", [4.0, 8.0])],
+            ["conv_id", "embedding"],
+        )
+        out = pool_embeddings(df, normalize=False).collect()[0]
+        assert out["pooled"] == [3.0, 6.0]
+        plan = (
+            pool_embeddings(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one conv-keyed hash aggregate: exactly one exchange, and the
+        # per-dimension explode never appears
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Generate" not in plan
