@@ -566,3 +566,109 @@ class TestSoftDedupWeights:
             w, k=5, weight_col="weight", key_col="doc_id", seed=7
         )
         assert picked.count() == 5
+
+
+class TestSplitClosureProperties:
+    """Randomized cross-checks of leakage_safe_split / soft_dedup_weights
+    against a driver-side union-find reference (a few seeded graphs, not
+    per-example fuzzing — Spark round-trips are too slow for hypothesis)."""
+
+    @staticmethod
+    def _union_find(n_docs, edges):
+        parent = list(range(n_docs))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id labeling, matching connected_components' contract
+        return {i: find(i) for i in range(n_docs)}
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        from featurescreening_jl_spark.operators.dedup import (
+            leakage_safe_split,
+            soft_dedup_weights,
+        )
+
+        for seed in (1, 7, 23):
+            rng = random.Random(seed)
+            n = 120
+            edges = sorted(
+                {
+                    tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(rng.randint(5, 60))
+                }
+            )
+            docs = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+            pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+            ref = self._union_find(n, edges)
+            ref_sizes: dict[int, int] = {}
+            for lbl in ref.values():
+                ref_sizes[lbl] = ref_sizes.get(lbl, 0) + 1
+
+            out = {
+                r["doc_id"]: r
+                for r in leakage_safe_split(
+                    docs, pairs, {"train": 0.8, "test": 0.2}
+                ).collect()
+            }
+            w = {
+                r["doc_id"]: r
+                for r in soft_dedup_weights(docs, pairs).collect()
+            }
+            for i in range(n):
+                assert out[i]["cluster_label"] == ref[i], (seed, i)
+                assert w[i]["cluster_size"] == ref_sizes[ref[i]], (seed, i)
+                # atomicity: same closure -> same split
+                assert out[i]["split"] == out[ref[i]]["split"], (seed, i)
+
+
+class TestContextBudgetProperties:
+    """Randomized cross-check of context_budget_features against a
+    brute-force O(n²) window scan."""
+
+    def test_random_conversations_match_bruteforce(self, spark):
+        import random
+
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        rng = random.Random(42)
+        rows = []
+        ref_toks: dict[str, list[int]] = {}
+        for c in range(8):
+            conv = f"c{c}"
+            toks = [rng.randint(0, 12) for _ in range(rng.randint(1, 40))]
+            ref_toks[conv] = [max(t, 1) for t in toks]
+            for i, t in enumerate(toks):
+                rows.append((conv, i, " ".join(["w"] * t)))
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+        B = 25
+        out = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in context_budget_features(df, B).collect()
+        }
+        for conv, toks in ref_toks.items():
+            for i in range(len(toks)):
+                # brute force: longest suffix window ending at i with
+                # total tokens <= B
+                best_turns, best_tokens = 0, 0
+                s = 0
+                for j in range(i, -1, -1):
+                    s += toks[j]
+                    if s > B:
+                        break
+                    best_turns, best_tokens = i - j + 1, s
+                r = out[(conv, i)]
+                assert r["ctx_turns"] == best_turns, (conv, i)
+                assert r["ctx_tokens"] == best_tokens, (conv, i)
+                assert r["turn_tokens"] == toks[i]
