@@ -19,6 +19,7 @@ from featurescreening_jl_spark.operators.importance import (
 )
 from featurescreening_jl_spark.operators.asof_join import asof_join
 from featurescreening_jl_spark.operators.screen import screen, screen_xy
+from featurescreening_jl_spark.operators.stability import stability_select
 from featurescreening_jl_spark.operators.window_features import (
     conversation_aggregates,
     sessionize,
@@ -49,6 +50,7 @@ __all__ = [
     "FeatureFrame",
     "screen",
     "screen_xy",
+    "stability_select",
     "load_hdf5",
     "save_hdf5",
     "feature_importance",
