@@ -2491,6 +2491,23 @@ def q_pool_embeddings(spark, sf):
     )
 
 
+def q_curriculum(spark, sf):
+    # Exact distributed global ranking + equal-frequency curriculum
+    # phases: rank all documents by length (doc_id tiebreak -> total
+    # order), cut into 8 easy->hard phases via exact integer DIV. The
+    # naive row_number()-no-partition spelling funnels the corpus into
+    # ONE task; global_rank range-partitions instead (see ranking.py).
+    from featurescreening_jl_spark.operators.ranking import (
+        curriculum_buckets,
+    )
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.length("text").alias("score")
+    )
+    out = curriculum_buckets(docs, "score", "doc_id", 8)
+    return out.select("doc_id", "score", "rank", "bucket")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2613,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_budget": q_context_budget,
         "soft_dedup": q_soft_dedup,
         "pool_embeddings": q_pool_embeddings,
+        "curriculum": q_curriculum,
     }
 
 
@@ -5436,6 +5454,18 @@ def oracle_sql() -> dict[str, str]:
         FROM led
         WHERE role = 'user' AND nrole = 'assistant'
         GROUP BY conv_id
+    """
+    d["curriculum"] = """
+        WITH ranked AS (
+          SELECT doc_id, length(text)::INT AS score,
+                 row_number() OVER (ORDER BY length(text), doc_id)
+                     ::BIGINT AS rank
+          FROM documents
+        )
+        SELECT doc_id, score, rank,
+               (((rank - 1) * 8) // (SELECT count(*) FROM documents))
+                   ::INT AS bucket
+        FROM ranked
     """
     d["pool_embeddings"] = """
         WITH e AS (

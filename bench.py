@@ -150,6 +150,7 @@ HEADLINE = [
     "context_budget",
     "soft_dedup",
     "pool_embeddings",
+    "curriculum",
 ]
 
 
