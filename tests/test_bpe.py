@@ -76,10 +76,20 @@ def corpus_df(spark):
 
 
 def test_learn_bpe_matches_python_reference(spark, corpus_df):
+    # default threshold routes this tiny vocab through the DRIVER loop
     got = learn_bpe(corpus_df, 12, checkpoint_every=4)
     want, _ = _ref_learn(CORPUS, 12)
     assert got == want
     assert len(got) >= 8  # non-vacuous: the corpus supports many merges
+
+
+def test_learn_bpe_distributed_path_matches_reference(spark, corpus_df):
+    # driver_threshold=0 forces the per-merge Spark loop; must agree
+    # merge-for-merge with both the reference and the driver path
+    got = learn_bpe(corpus_df, 12, checkpoint_every=4, driver_threshold=0)
+    want, _ = _ref_learn(CORPUS, 12)
+    assert got == want
+    assert got == learn_bpe(corpus_df, 12)
 
 
 def test_learn_bpe_stops_when_saturated(spark):
