@@ -2508,6 +2508,35 @@ def q_curriculum(spark, sf):
     return out.select("doc_id", "score", "rank", "bucket")
 
 
+def q_semantic_segments(spark, sf):
+    # Topic segmentation of conversations by embedding drift: a turn
+    # opens a new segment when cosine to the previous turn drops below
+    # the threshold (TextTiling's rule on embeddings). Per-turn
+    # embeddings come from the events->embeddings join (the transcripts
+    # recipe with the embedding table swapped in for documents).
+    from featurescreening_jl_spark.operators.conversations import (
+        semantic_segments,
+    )
+
+    ev = _t(spark, sf, "events")
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        ev.join(F.broadcast(emb), F.col("event_id") % 500 == F.col("vec_id"))
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            "turn_idx",
+            "embedding",
+        )
+    )
+    return semantic_segments(t, threshold=0.1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2631,6 +2660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "pool_embeddings": q_pool_embeddings,
         "curriculum": q_curriculum,
+        "semantic_segments": q_semantic_segments,
     }
 
 
@@ -5454,6 +5484,36 @@ def oracle_sql() -> dict[str, str]:
         FROM led
         WHERE role = 'user' AND nrole = 'assistant'
         GROUP BY conv_id
+    """
+    d["semantic_segments"] = """
+        WITH t AS (
+          SELECT 'conv_' || e.user_id::VARCHAR AS conv_id,
+                 (row_number() OVER (PARTITION BY e.user_id
+                                     ORDER BY e.ts, e.event_id) - 1)::INT
+                     AS turn_idx,
+                 m.embedding::DOUBLE[] AS v
+          FROM events e JOIN embeddings m ON m.vec_id = e.event_id % 500
+        ),
+        lagged AS (
+          SELECT conv_id, turn_idx, v,
+                 lag(v) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pv
+          FROM t
+        ),
+        sims AS (
+          SELECT conv_id, turn_idx,
+                 round(list_dot_product(v, pv)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(pv, pv))), 6) AS sim_prev
+          FROM lagged
+        )
+        SELECT conv_id, turn_idx, sim_prev,
+               (sim_prev IS NOT NULL AND sim_prev < 0.1) AS is_boundary,
+               sum(CASE WHEN sim_prev IS NOT NULL AND sim_prev < 0.1
+                        THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 ::INT AS segment_idx
+        FROM sims
     """
     d["curriculum"] = """
         WITH ranked AS (

@@ -151,6 +151,7 @@ HEADLINE = [
     "soft_dedup",
     "pool_embeddings",
     "curriculum",
+    "semantic_segments",
 ]
 
 

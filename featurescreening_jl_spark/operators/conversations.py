@@ -43,6 +43,7 @@ __all__ = [
     "response_latency_features",
     "tool_usage_features",
     "context_budget_features",
+    "semantic_segments",
 ]
 
 
@@ -813,3 +814,60 @@ def context_budget_features(
             )
         ).alias("ctx_tokens"),
     )
+
+
+def semantic_segments(
+    df: DataFrame,
+    *,
+    by: str = "conv_id",
+    order_col: str = "turn_idx",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Topic segmentation of conversations by embedding drift: a turn
+    OPENS a new segment when its cosine similarity to the PREVIOUS turn
+    falls below ``threshold`` (TextTiling's boundary rule on modern
+    embeddings). Emits per-turn segment ids plus the boundary evidence,
+    ready for segment-level aggregation, per-topic sampling, or
+    segment-grain dedup downstream.
+
+    Plan shape at scale: one lag window + one running-sum window, BOTH
+    keyed on ``by`` with the same sort — a single conv-keyed exchange
+    end-to-end (gaps-and-islands over the boundary flag, the
+    sessionize/loop-detection pattern). The cosine is a codegen'd HOF
+    fold over the two adjacent vectors; vectors never leave their row
+    (no join, no explode — row width is 2×dim doubles during the lag,
+    dropped immediately after).
+
+    ``sim_prev`` is rounded to ``round_sim`` dp so the boundary decision
+    and the emitted evidence are reproducible cross-engine (a boundary
+    sitting exactly AT the threshold compares on the rounded value).
+    First turns have NULL ``sim_prev`` and always open segment 0.
+
+    Output: ``by, order_col, sim_prev, is_boundary, segment_idx``.
+    """
+    from featurescreening_jl_spark.functions.vector import cosine
+
+    w = Window.partitionBy(by).orderBy(order_col)
+    prev = F.lag(F.col(vec_col)).over(w)
+    sim = F.round(
+        cosine(F.col(vec_col).cast("array<double>"),
+               prev.cast("array<double>")),
+        round_sim,
+    )
+    flagged = df.select(
+        F.col(by),
+        F.col(order_col),
+        sim.alias("sim_prev"),
+    ).withColumn(
+        "is_boundary",
+        F.col("sim_prev").isNotNull()
+        & (F.col("sim_prev") < F.lit(float(threshold))),
+    )
+    seg = F.sum(F.col("is_boundary").cast("long")).over(
+        Window.partitionBy(by)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return flagged.withColumn("segment_idx", seg.cast("int"))

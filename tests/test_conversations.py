@@ -722,3 +722,52 @@ class TestContextBudget:
         )
         # both windows key on conv_id: exactly one shuffle end-to-end
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestSemanticSegments:
+    """Topic segmentation by embedding drift
+    (conversations.semantic_segments)."""
+
+    def test_boundaries_and_segment_ids(self, spark):
+        # c1: turns 0-1 similar, turn 2 orthogonal (boundary), turn 3
+        # similar to 2 -> segments [0, 0, 1, 1]
+        rows = [
+            ("c1", 0, [1.0, 0.0, 0.0]),
+            ("c1", 1, [0.9, 0.1, 0.0]),
+            ("c1", 2, [0.0, 0.0, 1.0]),
+            ("c1", 3, [0.1, 0.0, 0.9]),
+            # c2: single turn -> segment 0, NULL sim
+            ("c2", 0, [0.5, 0.5, 0.0]),
+        ]
+        from featurescreening_jl_spark.operators.conversations import (
+            semantic_segments,
+        )
+
+        df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "embedding"])
+        out = {
+            (r["conv_id"], r["turn_idx"]): r
+            for r in semantic_segments(df, threshold=0.5).collect()
+        }
+        assert out[("c1", 0)]["sim_prev"] is None
+        assert out[("c1", 0)]["is_boundary"] is False
+        assert [out[("c1", i)]["segment_idx"] for i in range(4)] == [0, 0, 1, 1]
+        assert out[("c1", 2)]["is_boundary"] is True
+        assert out[("c1", 1)]["sim_prev"] > 0.9
+        assert out[("c2", 0)]["segment_idx"] == 0
+
+    def test_single_exchange_plan(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            semantic_segments,
+        )
+
+        df = spark.createDataFrame(
+            [("c", 0, [1.0, 0.0])], "conv_id string, turn_idx int, embedding array<double>"
+        )
+        plan = (
+            semantic_segments(df)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # lag window + running sum share the conv-keyed sort: ONE exchange
+        assert plan.count("Exchange hashpartitioning") == 1
