@@ -36,6 +36,7 @@ __all__ = [
     "streaming_decayed_features",
     "streaming_expanding_zscore",
     "streaming_dedup_turns",
+    "streaming_neardup_gate",
 ]
 
 
@@ -425,3 +426,59 @@ def streaming_expanding_zscore(
             timeoutConf="EventTimeTimeout",
         )
     )
+
+
+def streaming_neardup_gate(
+    stream: DataFrame,
+    index_docs: DataFrame,
+    sink,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    query_name: str = "neardup_gate",
+    trigger_available_now: bool = True,
+    **lsh_kwargs,
+):
+    """Near-duplicate gate at ingest: every arriving micro-batch is
+    LSH-matched against the accepted-corpus index and the verified
+    ``(new_id, index_id, jaccard)`` pairs go to ``sink`` — the streaming
+    twin of :func:`~featurescreening_jl_spark.operators.dedup.
+    minhash_lsh_pairs_incremental`, and the production shape of "reject
+    near-copies before they enter the corpus".
+
+    Built on ``foreachBatch`` — the Spark-sanctioned way to reuse exact
+    batch logic (multi-join + verify) per micro-batch, which keeps this
+    gate BIT-IDENTICAL to the batch incremental path: same banding, same
+    candidate join, same exact-Jaccard verify, pinned by the
+    stream-vs-batch agreement test. The gate itself is STATELESS (no
+    watermark, no state store): all state lives in the index relation,
+    which production recomputes per corpus version (band tables are
+    precomputable and bucket-partitioned; see the batch docstring).
+    Pair the gate with ``streaming_dedup_turns`` upstream for exact
+    within-stream duplicates; new-vs-new NEAR-dups inside one batch are
+    the batch self-join's job at compaction time.
+
+    ``sink(pairs_df, batch_id)`` receives the verified pairs of each
+    micro-batch. Returns the started ``StreamingQuery``.
+    """
+    from featurescreening_jl_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = minhash_lsh_pairs_incremental(
+            index_docs,
+            batch_df,
+            id_col,
+            text_col,
+            **lsh_kwargs,
+        )
+        sink(pairs, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -495,3 +495,62 @@ class TestStreamingExpandingZscore:
         g = got["zscore"].to_numpy(dtype=float)
         w = want["zscore"].to_numpy(dtype=float)
         assert ((g == w) | (np.isnan(g) & np.isnan(w))).all()
+
+
+class TestNeardupGate:
+    """Streaming near-dup gate (streaming_neardup_gate): per micro-batch
+    LSH match against a static index must agree pair-for-pair with the
+    batch incremental path on identical data."""
+
+    @pytest.fixture(scope="class")
+    def corpora(self, spark, tmp_path_factory):
+        # index: 30 docs; stream: 10 docs of which 4 are near-copies of
+        # index docs (a few words dropped)
+        idx_rows = [
+            (i, " ".join(f"w{(i * 13 + j * 7) % 101}" for j in range(50)))
+            for i in range(30)
+        ]
+        idx = spark.createDataFrame(idx_rows, ["doc_id", "text"])
+        new_rows = [
+            (1000 + i, " ".join(f"v{(i * 11 + j * 5) % 97}" for j in range(50)))
+            for i in range(6)
+        ] + [
+            (2000 + i, " ".join(idx_rows[i * 7][1].split()[:45]))
+            for i in range(4)
+        ]
+        new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+        path = str(tmp_path_factory.mktemp("gate") / "new_docs")
+        new.repartition(3).write.parquet(path)
+        return idx, new, path
+
+    def test_stream_matches_batch_incremental(self, spark, corpora):
+        from featurescreening_jl_spark.operators.dedup import (
+            minhash_lsh_pairs_incremental,
+        )
+        from featurescreening_jl_spark.streaming.ingest import (
+            streaming_neardup_gate,
+        )
+
+        idx, new, path = corpora
+        want = sorted(
+            map(
+                tuple,
+                minhash_lsh_pairs_incremental(
+                    idx, new, jaccard_threshold=0.7
+                ).collect(),
+            )
+        )
+        assert len(want) >= 4  # the injected near-copies are found
+
+        got: list[tuple] = []
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(path)
+        q = streaming_neardup_gate(
+            stream,
+            idx,
+            lambda pairs, _bid: got.extend(map(tuple, pairs.collect())),
+            jaccard_threshold=0.7,
+        )
+        q.awaitTermination(120)
+        assert sorted(got) == want
