@@ -85,3 +85,82 @@ class TestCliSubprocess:
             .collect()
         }
         assert job_ids == lib_ids
+
+
+class TestCorpusPrepJob:
+    """End-to-end corpus_prep_job: hygiene -> dedup -> split -> parquet +
+    metrics, driven through main() exactly as spark-submit would."""
+
+    def test_hard_dedup_run(self, spark, tmp_path):
+        import json
+
+        from jobs.corpus_prep_job import main
+
+        src = str(tmp_path / "docs")
+        out = str(tmp_path / "out")
+        met = str(tmp_path / "metrics.json")
+        # disjoint per-doc vocabularies: the ONLY near-dups are injected
+        base = [
+            (i, " ".join(f"w{i}_{j}" for j in range(40)))
+            for i in range(40)
+        ]
+        # 4 near-copies (last 4 words dropped) and 3 exact copies
+        rows = (
+            base
+            + [(100 + i, " ".join(base[i][1].split()[:36])) for i in range(4)]
+            + [(200 + i, base[i][1]) for i in range(3)]
+        )
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+
+        rc = main([
+            "--input", src, "--output", out, "--metrics-out", met,
+            "--jaccard-threshold", "0.7", "--hashed-verify",
+            "--splits", "train=0.8,test=0.2", "--verbosity", "0",
+        ])
+        assert rc == 0
+        m = json.load(open(met))
+        assert m["stages"]["ingest"] == 47
+        # exact dedup removes the 3 byte-identical copies
+        assert m["stages"]["exact_dedup"] == 44
+        assert m["near_dup_pairs"] == 4
+        # hard dedup: near-copies collapse to their closure representative
+        # hard dedup: the 4 near-copy closures each keep ONE representative
+        assert m["stages"]["output"] == 40
+        assert sum(m["splits"].values()) == 40
+
+        written = spark.read.parquet(out)
+        assert written.count() == 40
+        # representatives are closure minima: every kept id == its label
+        assert (
+            written.where("doc_id <> cluster_label").count() == 0
+        )
+
+    def test_soft_dedup_keeps_rows_with_weights(self, spark, tmp_path):
+        import json
+
+        from jobs.corpus_prep_job import main
+
+        src = str(tmp_path / "docs2")
+        out = str(tmp_path / "out2")
+        met = str(tmp_path / "m2.json")
+        base = [
+            (i, " ".join(f"t{i}_{j}" for j in range(40)))
+            for i in range(20)
+        ]
+        rows = base + [
+            (100 + i, " ".join(base[i][1].split()[:36])) for i in range(2)
+        ]
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+        rc = main([
+            "--input", src, "--output", out, "--metrics-out", met,
+            "--jaccard-threshold", "0.7", "--soft-dedup",
+            "--splits", "train=1.0", "--verbosity", "0",
+        ])
+        assert rc == 0
+        m = json.load(open(met))
+        assert m["stages"]["output"] == 22  # nothing dropped
+        written = spark.read.parquet(out)
+        # near-dup closure members carry weight 1/2; singletons 1.0
+        w = {r["doc_id"]: r["weight"] for r in written.collect()}
+        assert w[0] == 0.5 and w[100] == 0.5
+        assert w[5] == 1.0
