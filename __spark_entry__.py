@@ -2157,21 +2157,37 @@ def q_conv_neardup(spark, sf):
     the rendering, cloning, and EXACT all-pairs Jaccard ≥ 0.8."""
     from featurescreening_jl_spark.operators.dedup import minhash_lsh_pairs
 
-    t = _transcripts(spark, sf)
-    # ONE groupBy collects each conversation's ordered turn texts; both
-    # the full rendering and the truncated clone derive from it MAP-SIDE
-    # (an earlier two-_render form re-ran the transcripts join+window per
-    # branch). The explicit repartition matters twice over: the per-row
-    # shingling+signature compute downstream is invisible to AQE's
-    # size-based coalescing (the ngram_jaccard_pairs trap), and the
-    # eager localCheckpoint materializes the ~1-row-per-conversation
-    # table once so neither branch re-renders.
+    # Rendering does NOT need _transcripts' row_number window: turn_idx is
+    # by definition the rank of (ts, event_id) within the conversation, so
+    # sorting collected turns by (ts, event_id) yields the identical text
+    # order while skipping an entire text-width window shuffle (verified
+    # byte-identical; render phase 7.3 s -> 3.2 s at sf0.1). ONE groupBy
+    # collects each conversation's ordered turn texts; both the full
+    # rendering and the truncated clone derive from it MAP-SIDE. The
+    # explicit repartition matters twice over: the per-row shingling+
+    # signature compute downstream is invisible to AQE's size-based
+    # coalescing (the ngram_jaccard_pairs trap), and the eager
+    # localCheckpoint materializes the ~1-row-per-conversation table once
+    # so neither branch re-renders.
+    ev = _t(spark, sf, "events")
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.col("text").alias("__doc_text")
+    )
     grouped = (
-        t.groupBy("conv_id")
+        ev.join(F.broadcast(docs), F.col("event_id") % 500 == F.col("doc_id"))
+        .groupBy("user_id")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("ts", "turn_idx", "text"))
+                F.collect_list(
+                    F.struct("ts", "event_id", F.col("__doc_text").alias("text"))
+                )
             ).alias("__turns")
+        )
+        .select(
+            F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias(
+                "conv_id"
+            ),
+            "__turns",
         )
         .repartition(spark.sparkContext.defaultParallelism, "conv_id")
         .localCheckpoint()
@@ -2194,8 +2210,14 @@ def q_conv_neardup(spark, sf):
         corpus,
         id_col="conv_id",
         jaccard_threshold=0.8,
+        # r = num_hashes/bands = 4 rows per band is load-bearing: at r=2
+        # the corpus's natural-pair Jaccard (~0.24) collides in ~0.92
+        # bands per pair in expectation, promoting nearly all 1.28M
+        # natural pairs to screening candidates (measured 15 s -> 45 s).
+        # r=4 drops that to 0.027 expected while true pairs (J≈0.95)
+        # still band with prob 1-1.4e-6 per the S-curve.
         # rendered conversations are ~100× longer than documents and sit
-        # atop a join+window+groupBy plan: shingle once, not per branch
+        # atop a join+groupBy plan: shingle once, not per branch
         checkpoint_shingles=True,
         # long-document scale path: band + screen in 64-bit hash space,
         # exact string Jaccard only on screened survivors (output values

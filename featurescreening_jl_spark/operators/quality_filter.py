@@ -104,13 +104,24 @@ def quality_classifier_scores(
         family="binomial",
     )
     model = lr.fit(base)
-    return (
-        model.transform(base)
-        .select(
-            id_col,
-            F.col("label").cast("long").alias("label"),
-            F.round(
-                vector_to_array(F.col("probability"))[1], 4
-            ).alias("quality_score"),
-        )
+    # Score with the closed-form sigmoid over the EXTRACTED coefficients
+    # instead of model.transform: the fitted model object drags its
+    # training summary — which holds a SparkSession reference — into the
+    # task closure (observed NotSerializableException on
+    # ObservationManager under Spark 4.1 classic). Seven double literals
+    # in a codegen expression are also the honest 100 TB shape: the
+    # "broadcast" is the literal plan itself, no JVM object graph rides
+    # along. Binomial LR's probability is exactly
+    # sigmoid(intercept + coef·x), so values match transform's output.
+    coefs = [float(c) for c in model.coefficients.toArray()]
+    intercept = float(model.intercept)
+    feats = vector_to_array(F.col("features"))
+    margin = F.lit(intercept)
+    for i, c in enumerate(coefs):
+        margin = margin + F.lit(c) * feats[i]
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+    return base.select(
+        id_col,
+        F.col("label").cast("long").alias("label"),
+        F.round(prob, 4).alias("quality_score"),
     )
