@@ -2559,6 +2559,35 @@ def q_semantic_segments(spark, sf):
     return semantic_segments(t, threshold=0.1)
 
 
+def q_doc_pagerank(spark, sf):
+    """Web-graph quality rank over the document navigation graph: each
+    user's event stream (ordered by ts, event_id) yields a directed
+    transition edge doc(event_i) -> doc(event_i+1) (the click-chain
+    construction behind domain-centrality corpus curation signals);
+    3 iterations of weighted PageRank (operators/graph.py pagerank,
+    simplified recurrence — exactly replayable in SQL, so the oracle
+    unrolls the three steps as stacked CTEs and value-checks every
+    rank). Self-loop transitions are dropped (standard for centrality);
+    parallel transitions pre-aggregate to one weighted edge so the 100 TB
+    edge side is |distinct pairs|, not |events|."""
+    from featurescreening_jl_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    doc = (F.col("event_id") % 500).alias("src")
+    seq = ev.select(doc, F.lead(F.col("event_id") % 500).over(w).alias("dst"))
+    edges = (
+        seq.where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    out = pagerank(edges, "src", "dst", "w", damping=0.85, iterations=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("rank", 6).alias("rank"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2683,6 +2712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings": q_pool_embeddings,
         "curriculum": q_curriculum,
         "semantic_segments": q_semantic_segments,
+        "doc_pagerank": q_doc_pagerank,
     }
 
 
@@ -5641,5 +5671,58 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 / count(*) OVER (PARTITION BY cluster_label), 6)
                    AS weight
         FROM lab
+    """
+    d["doc_pagerank"] = """
+        WITH seq AS (
+          SELECT event_id % 500 AS src,
+                 lead(event_id % 500) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        ),
+        edges AS (
+          SELECT src, dst, count(*)::DOUBLE AS w
+          FROM seq WHERE dst IS NOT NULL AND dst <> src
+          GROUP BY src, dst
+        ),
+        outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+        ne AS (
+          SELECT e.src, e.dst, e.w / o.ow AS frac
+          FROM edges e JOIN outw o ON o.src = e.src
+        ),
+        nodes AS (
+          SELECT src AS node FROM edges
+          UNION
+          SELECT dst FROM edges
+        ),
+        nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        r1 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(s.inr, 0) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT ne.dst AS node, sum(r0.rank * ne.frac) AS inr
+            FROM ne JOIN r0 ON r0.node = ne.src GROUP BY ne.dst
+          ) s ON s.node = nd.node
+        ),
+        r2 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(s.inr, 0) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT ne.dst AS node, sum(r1.rank * ne.frac) AS inr
+            FROM ne JOIN r1 ON r1.node = ne.src GROUP BY ne.dst
+          ) s ON s.node = nd.node
+        ),
+        r3 AS (
+          SELECT nd.node,
+                 0.15 / (SELECT n FROM nn)
+                   + 0.85 * coalesce(s.inr, 0) AS rank
+          FROM nodes nd LEFT JOIN (
+            SELECT ne.dst AS node, sum(r2.rank * ne.frac) AS inr
+            FROM ne JOIN r2 ON r2.node = ne.src GROUP BY ne.dst
+          ) s ON s.node = nd.node
+        )
+        SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM r3
     """
     return d

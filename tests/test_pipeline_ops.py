@@ -431,6 +431,97 @@ class TestConnectedComponents:
         with pytest.raises(ValueError, match="algorithm"):
             connected_components(pairs, algorithm="bogus")
 
+
+class TestPageRank:
+    @staticmethod
+    def _reference_pagerank(edges, damping, iterations):
+        # pure-python replay of the simplified recurrence
+        from collections import defaultdict
+
+        out_w = defaultdict(float)
+        for s, d, w in edges:
+            out_w[s] += w
+        nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(iterations):
+            inc = defaultdict(float)
+            for s, d, w in edges:
+                inc[d] += rank[s] * w / out_w[s]
+            rank = {
+                v: (1 - damping) / n + damping * inc.get(v, 0.0)
+                for v in nodes
+            }
+        return rank
+
+    EDGES = [
+        (1, 2, 1.0), (1, 3, 1.0), (2, 3, 2.0), (3, 1, 1.0),
+        (4, 3, 1.0), (4, 5, 3.0), (5, 4, 1.0), (2, 5, 1.0),
+    ]
+
+    def test_matches_pure_python_replay(self, spark):
+        from featurescreening_jl_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame(
+            self.EDGES, "src long, dst long, w double"
+        )
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                df, "src", "dst", "w", damping=0.85, iterations=3
+            ).collect()
+        }
+        want = self._reference_pagerank(self.EDGES, 0.85, 3)
+        assert set(got) == set(want)
+        for v in want:
+            assert abs(got[v] - want[v]) < 1e-12, v
+
+    def test_partitioning_invariance(self, spark):
+        # float sums reorder across partitionings; equality must hold to
+        # well below the 6dp the oracle rounds to
+        from featurescreening_jl_spark.operators.graph import pagerank
+
+        edges = spark.range(400).select(
+            ((F.col("id") * 7919 + 13) % 40).alias("src"),
+            ((F.col("id") * 104729 + 7) % 40).alias("dst"),
+            (F.col("id") % 5 + 1).cast("double").alias("w"),
+        ).where(F.col("src") != F.col("dst"))
+        a = pagerank(edges, iterations=3, partitions=2).toPandas()
+        b = pagerank(edges, iterations=3, partitions=17).toPandas()
+        merged = a.merge(b, on="node", suffixes=("_a", "_b"))
+        assert len(merged) == len(a) == len(b)
+        assert (merged["rank_a"] - merged["rank_b"]).abs().max() < 1e-9
+
+    def test_unweighted_parallel_edges_equal_weighted(self, spark):
+        # weight=None counts each parallel edge once; pre-aggregated
+        # weighted form must give identical ranks
+        from featurescreening_jl_spark.operators.graph import pagerank
+
+        flat = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+        )
+        agg = flat.groupBy("src", "dst").agg(
+            F.count("*").cast("double").alias("w")
+        )
+        a = {
+            r["node"]: r["rank"]
+            for r in pagerank(flat, iterations=2).collect()
+        }
+        b = {
+            r["node"]: r["rank"]
+            for r in pagerank(agg, "src", "dst", "w", iterations=2).collect()
+        }
+        assert set(a) == set(b)
+        for v in a:
+            assert abs(a[v] - b[v]) < 1e-12
+
+    def test_rejects_zero_iterations(self, spark):
+        from featurescreening_jl_spark.operators.graph import pagerank
+
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(df, iterations=0)
+
     def test_transitive_minhash_dedup_keeps_one_per_chain(self, spark):
         # A~B and B~C near-dup (but A vs C just below threshold): greedy
         # drops B and C's pair-losers only; transitive keeps exactly A.
