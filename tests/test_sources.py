@@ -310,3 +310,94 @@ class TestCliHoldout:
         # screened output exists and is keyed by sample_id
         out = spark.read.parquet(outp)
         assert "sample_id" in out.columns
+
+
+class TestBucketedTables:
+    """sources/bucketed.py — the on-disk co-location layer. The plan pin
+    is the point: a join between two tables bucketed on the same key and
+    count must contain ZERO Exchange."""
+
+    def _plan(self, df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_bucketed_join_has_zero_exchange(self, spark):
+        from featurescreening_jl_spark.sources.bucketed import (
+            is_bucketed,
+            read_bucketed,
+            write_bucketed,
+        )
+
+        left = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("a")
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("b")
+        )
+        try:
+            write_bucketed(left, "bkt_left", "k", 4, sort_cols="k")
+            write_bucketed(right, "bkt_right", "k", 4, sort_cols="k")
+            assert is_bucketed(spark, "bkt_left")
+            assert is_bucketed(spark, "bkt_right")
+            # force the sort-merge path (broadcast would hide the layout
+            # win on these tiny tables; at scale neither side broadcasts)
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                j = read_bucketed(spark, "bkt_left").join(
+                    read_bucketed(spark, "bkt_right"), "k"
+                )
+                assert j.count() == 500
+                p = self._plan(j)
+                assert "Exchange" not in p, p
+                # the same join over plain (non-bucketed) reads of the
+                # same data DOES shuffle — proves the pin is the layout,
+                # not the data size
+                l2 = spark.table("bkt_left").repartition(8)
+                r2 = spark.table("bkt_right").repartition(8)
+                p2 = self._plan(l2.join(r2, "k"))
+                assert "Exchange hashpartitioning" in p2, p2
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_left")
+            spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+    def test_bucketed_groupby_has_zero_exchange(self, spark):
+        from featurescreening_jl_spark.sources.bucketed import (
+            read_bucketed,
+            write_bucketed,
+        )
+
+        df = spark.range(300).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+        try:
+            write_bucketed(df, "bkt_agg", "k", 4)
+            out = (
+                read_bucketed(spark, "bkt_agg")
+                .groupBy("k")
+                .agg(F.sum("v").alias("s"))
+            )
+            assert out.count() == 50
+            assert "Exchange" not in self._plan(out), self._plan(out)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_agg")
+
+    def test_values_roundtrip(self, spark):
+        from featurescreening_jl_spark.sources.bucketed import (
+            read_bucketed,
+            write_bucketed,
+        )
+
+        df = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        try:
+            write_bucketed(df, "bkt_rt", "k", 3)
+            got = sorted(
+                (r["k"], r["v"])
+                for r in read_bucketed(spark, "bkt_rt").collect()
+            )
+            assert got == [(i, 2 * i) for i in range(100)]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_rt")
