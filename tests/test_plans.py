@@ -351,3 +351,46 @@ class TestUnitAndPqBindingPlanShape:
         assert txt.count("array_max") == 1, txt
         # the unit norm is still bound once
         assert txt.count("SQRT") == 1, txt
+
+
+class TestPartitionPruning:
+    """The two storage-pruning levers a 100 TB layout lives on: static
+    partition pruning (a literal predicate on the partition column never
+    lists non-matching directories) and dynamic partition pruning (a
+    selective dim-side filter prunes fact partitions at RUNTIME through
+    the join key — the star-join pattern of the corpus lake)."""
+
+    def _write_facts(self, spark, tmp_path):
+        facts = spark.range(4000).select(
+            (F.col("id") % 20).alias("day"), F.col("id").alias("v")
+        )
+        path = str(tmp_path / "facts")
+        facts.write.mode("overwrite").partitionBy("day").parquet(path)
+        return spark.read.parquet(path)
+
+    def test_static_partition_pruning(self, spark, tmp_path):
+        f = self._write_facts(spark, tmp_path)
+        p = plan(f.where(F.col("day") == 5))
+        scan = [l for l in p.splitlines() if "PartitionFilters" in l]
+        assert scan and "(day" in scan[0], p
+        # the literal lands in PartitionFilters (directory-level skip),
+        # NOT in DataFilters (row-level post-read)
+        assert "DataFilters: []" in scan[0], scan[0]
+
+    def test_dynamic_partition_pruning_through_join(self, spark, tmp_path):
+        f = self._write_facts(spark, tmp_path)
+        dim = spark.range(20).select(
+            F.col("id").alias("day"),
+            F.when(F.col("id") < 3, "hot").otherwise("cold").alias("tag"),
+        )
+        dpath = str(tmp_path / "dim")
+        dim.write.mode("overwrite").parquet(dpath)
+        hot = spark.read.parquet(dpath).where(F.col("tag") == "hot")
+        j = f.join(hot, "day")
+        assert j.count() == 600  # 3 hot days x 200 rows/day
+        p = plan(j)
+        fact_scan = [
+            l for l in p.splitlines()
+            if "PartitionFilters" in l and "facts" in l
+        ]
+        assert fact_scan and "dynamicpruning" in fact_scan[0], p
