@@ -394,3 +394,57 @@ class TestPartitionPruning:
             if "PartitionFilters" in l and "facts" in l
         ]
         assert fact_scan and "dynamicpruning" in fact_scan[0], p
+
+
+class TestAQESkewJoin:
+    def test_skewed_join_splits_at_runtime(self, spark):
+        """AQE skew-join is the engine's answer to hot keys it was NOT
+        pre-salted for: the skewed shuffle partition splits at runtime
+        (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the FINAL
+        adaptive plan). Payload is sha2 (incompressible) — with a
+        compressible pad the skewed partition's shuffle BYTES sit under
+        the threshold and the rule correctly declines, which is also why
+        production thresholds are sized on observed shuffle sizes."""
+        keep = {
+            k: spark.conf.get(k)
+            for k in (
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )
+        }
+        try:
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2"
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.skewJoin."
+                "skewedPartitionThresholdInBytes",
+                "100KB",
+            )
+            spark.conf.set(
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes", "100KB"
+            )
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            left = spark.range(1_000_000).select(
+                F.when(F.col("id") % 3 != 0, 0)
+                .otherwise(F.col("id") % 97)
+                .alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+            )
+            right = spark.range(97).select(
+                F.col("id").alias("k"), F.lit("r").alias("rv")
+            )
+            j = left.join(right, "k").select(
+                F.sum(F.length("pad")).alias("s")
+            )
+            [row] = j.collect()  # executes THIS QueryExecution (final plan)
+            assert row["s"] == 1_000_000 * 64
+            p = plan(j)
+            assert "isFinalPlan=true" in p, p
+            assert "SortMergeJoin(skew=true)" in p, p
+            assert "AQEShuffleRead skewed" in p, p
+        finally:
+            for k, v in keep.items():
+                spark.conf.set(k, v)
