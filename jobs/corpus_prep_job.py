@@ -153,8 +153,19 @@ def main(argv=None) -> int:
     spark = get_spark("corpus-prep-job")
     result, obs, pairs = build(spark, args)
 
-    # ONE action writes the corpus and fires every stage observation
-    result.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    # ONE action writes the corpus and fires every stage observation.
+    # REBALANCE(split) before a partitionBy(split) write is the
+    # small-files guard at scale: without it every upstream task opens a
+    # file per split value (tasks × splits files); with it AQE sizes the
+    # write tasks to advisoryPartitionSizeInBytes — coalescing tiny
+    # splits AND splitting a skewed one (train ≫ val/test here), which a
+    # plain repartition("split") cannot do (one task per split value).
+    (
+        result.hint("rebalance", "split")
+        .write.mode("overwrite")
+        .partitionBy("split")
+        .parquet(args.output)
+    )
 
     stage_rows = {k: o.get["rows"] for k, o in obs.items()}
     n_pairs = pairs.count()
