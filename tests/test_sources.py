@@ -401,3 +401,47 @@ class TestBucketedTables:
             assert got == [(i, 2 * i) for i in range(100)]
         finally:
             spark.sql("DROP TABLE IF EXISTS bkt_rt")
+
+
+class TestBucketedFeaturization:
+    def test_turn_features_exchange_free_over_bucketed_transcripts(
+        self, spark
+    ):
+        """The north-rule's throughput-critical stage off the designed
+        storage layout: transcripts bucketed by conv_id (sorted by
+        conv_id, ts) feed the per-turn window featurization with ZERO
+        Exchange — the pipeline's one big shuffle moves to write time.
+        The same featurization over a plain (re-partitioned) read of the
+        identical rows must shuffle, proving the pin is the layout."""
+        from featurescreening_jl_spark.operators.window_features import (
+            turn_features,
+        )
+        from featurescreening_jl_spark.sources.bucketed import write_bucketed
+        from featurescreening_jl_spark.sources.transcripts import (
+            synthetic_transcripts,
+        )
+
+        t = synthetic_transcripts(spark, 40, seed=7, mean_turns=12)
+        try:
+            write_bucketed(
+                t, "bkt_transcripts", "conv_id", 4,
+                sort_cols=["conv_id", "ts"],
+            )
+            bt = spark.table("bkt_transcripts")
+            feats = turn_features(bt, keep_text=False)
+            p = feats._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in p, p
+
+            plain = turn_features(
+                spark.table("bkt_transcripts").repartition(8),
+                keep_text=False,
+            )
+            p2 = plain._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" in p2, p2
+
+            # and the layout changes the plan, not the values
+            a = feats.orderBy("conv_id", "turn_idx").toPandas()
+            b = plain.orderBy("conv_id", "turn_idx").toPandas()
+            assert a.equals(b)
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_transcripts")
