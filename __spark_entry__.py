@@ -2588,6 +2588,26 @@ def q_doc_pagerank(spark, sf):
     )
 
 
+def q_quantile_bin(spark, sf):
+    """Equal-frequency discretization with the fit/transform split: fit
+    per-event-type 8-bin boundaries (exact percentile — the verifier;
+    approx=True is the sketch-aggregate 100 TB path), then assign
+    buckets map-side against the broadcast boundary table
+    (operators/feature_encoding.py fit_quantile_bins / quantile_bin).
+    Boundaries round to 6dp in BOTH engines so interpolation ulps can't
+    flip a >= comparison."""
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        fit_quantile_bins,
+        quantile_bin,
+    )
+
+    ev = _t(spark, sf, "events")
+    bins = fit_quantile_bins(ev, "value", 8, by="event_type")
+    return quantile_bin(ev, bins, "value", by="event_type").select(
+        "event_id", "event_type", "bucket"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2713,6 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum": q_curriculum,
         "semantic_segments": q_semantic_segments,
         "doc_pagerank": q_doc_pagerank,
+        "quantile_bin": q_quantile_bin,
     }
 
 
@@ -5724,5 +5745,21 @@ def oracle_sql() -> dict[str, str]:
           ) s ON s.node = nd.node
         )
         SELECT node::BIGINT AS node, round(rank, 6) AS rank FROM r3
+    """
+    d["quantile_bin"] = """
+        WITH b AS (
+          SELECT event_type,
+                 list_transform(
+                   quantile_cont(value, [0.125, 0.25, 0.375, 0.5,
+                                         0.625, 0.75, 0.875]),
+                   x -> round(x, 6)) AS boundaries
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               CASE WHEN e.value IS NULL THEN NULL
+                    ELSE len(list_filter(b.boundaries,
+                                         x -> e.value >= x))
+               END::INT AS bucket
+        FROM events e JOIN b ON b.event_type = e.event_type
     """
     return d

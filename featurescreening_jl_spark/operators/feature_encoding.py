@@ -69,6 +69,8 @@ __all__ = [
     "rolling_origin_folds",
     "woe_encode",
     "hashed_cross",
+    "fit_quantile_bins",
+    "quantile_bin",
 ]
 
 # Half-lives per renormalization segment in the stable variant. 2^±500 is
@@ -543,3 +545,78 @@ def hashed_cross(
     return df.withColumn(
         out, F.pmod(hash60_portable(joint), F.lit(int(n_buckets))).cast("int")
     )
+
+
+def fit_quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    *,
+    by: str | None = None,
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Fit equal-frequency bin boundaries: the fit half of the standard
+    feature-store discretizer (fit on train, persist the tiny boundary
+    table, transform anything later — the split is what keeps the
+    encoder leakage-controllable and reusable across snapshots).
+
+    Returns one row per ``by`` group (single global row when ``by`` is
+    None): ``(by?, boundaries array<double>)`` with ``n_bins - 1``
+    interior boundaries at quantiles ``1/n, …, (n-1)/n``, rounded to
+    6 dp. The rounding is a cross-engine determinism guard, not a
+    precision loss: linear-interpolated quantiles computed by two
+    engines (or two partitionings) agree to far better than 1e-6, and
+    rounding both to the SAME grid makes downstream ``>=`` bucket
+    comparisons identical everywhere.
+
+    ``approx=False``: exact ``percentile`` — a per-group sort, the
+    oracle-checkable verifier. ``approx=True``: the 100 TB path —
+    ``approx_percentile`` is a map-side-combinable sketch (no per-group
+    sort; error ≤ 1/accuracy of rank), same output contract.
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    qs = F.array(
+        *[F.lit(i / n_bins) for i in range(1, n_bins)]
+    )
+    v = F.col(value_col).cast("double")
+    agg = (
+        F.percentile_approx(v, qs, F.lit(accuracy))
+        if approx
+        else F.percentile(v, qs)
+    )
+    rounded = F.transform(agg, lambda b: F.round(b, 6)).alias("boundaries")
+    if by is None:
+        return df.agg(rounded)
+    return df.groupBy(by).agg(rounded)
+
+
+def quantile_bin(
+    df: DataFrame,
+    bins: DataFrame,
+    value_col: str,
+    *,
+    by: str | None = None,
+    out: str = "bucket",
+) -> DataFrame:
+    """Transform half: assign each row the count of fitted boundaries
+    ``<= value`` (bucket 0..n_bins-1). The boundary table is tiny
+    (groups × (n_bins-1) doubles) and broadcasts; the scan side is
+    map-only — one HOF fold per row, no shuffle, no sort. NULL values
+    get NULL buckets.
+    """
+    joined = (
+        df.join(F.broadcast(bins), on=by)
+        if by is not None
+        else df.crossJoin(F.broadcast(bins))
+    )
+    v = F.col(value_col).cast("double")
+    bucket = F.aggregate(
+        "boundaries",
+        F.lit(0),
+        lambda acc, b: acc + F.when(v >= b, 1).otherwise(0),
+    )
+    return joined.withColumn(
+        out, F.when(v.isNotNull(), bucket).cast("int")
+    ).drop("boundaries")

@@ -568,3 +568,125 @@ class TestHashedCross:
         ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
         with pytest.raises(ValueError):
             hashed_cross(ev, [], 32)
+
+
+class TestQuantileBin:
+    def _ev(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+    def test_equal_frequency_within_tolerance(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+            quantile_bin,
+        )
+
+        ev = self._ev(spark)
+        bins = fit_quantile_bins(ev, "value", 4)
+        out = quantile_bin(ev, bins, "value")
+        counts = (
+            out.groupBy("bucket").count().orderBy("bucket").toPandas()
+        )
+        n = ev.count()
+        assert sorted(counts["bucket"]) == [0, 1, 2, 3]
+        # continuous values, exact quantile fit: each bin holds n/4 ± 1
+        assert (counts["count"] - n / 4).abs().max() <= 1
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+        )
+
+        ev = self._ev(spark)
+        vals = np.array(
+            [r["value"] for r in ev.select("value").collect()]
+        )
+        want = np.round(
+            np.quantile(vals, [0.25, 0.5, 0.75], method="linear"), 6
+        )
+        [row] = fit_quantile_bins(ev, "value", 4).collect()
+        got = np.array(row["boundaries"])
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_approx_close_to_exact(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+            quantile_bin,
+        )
+
+        ev = self._ev(spark)
+        exact = fit_quantile_bins(ev, "value", 8, by="event_type")
+        approx = fit_quantile_bins(
+            ev, "value", 8, by="event_type", approx=True
+        )
+        a = quantile_bin(ev, exact, "value", by="event_type")
+        b = quantile_bin(ev, approx, "value", by="event_type")
+        both = a.select("event_id", F.col("bucket").alias("be")).join(
+            b.select("event_id", F.col("bucket").alias("ba")), "event_id"
+        )
+        n = both.count()
+        agree = both.where(F.col("be") == F.col("ba")).count()
+        # the sketch may shift rows at bin edges, nowhere else
+        assert agree / n > 0.95, (agree, n)
+
+    def test_null_values_get_null_bucket(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+            quantile_bin,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, None)],
+            "id long, value double",
+        )
+        bins = fit_quantile_bins(df, "value", 2)
+        out = {
+            r["id"]: r["bucket"]
+            for r in quantile_bin(df, bins, "value").collect()
+        }
+        assert out[5] is None
+        assert out[1] == 0 and out[4] == 1
+
+    def test_partitioning_invariance(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+            quantile_bin,
+        )
+
+        ev = self._ev(spark)
+        a = quantile_bin(
+            ev, fit_quantile_bins(ev, "value", 8, by="event_type"),
+            "value", by="event_type",
+        ).select("event_id", "bucket").orderBy("event_id").toPandas()
+        ev2 = ev.repartition(7)
+        b = quantile_bin(
+            ev2, fit_quantile_bins(ev2, "value", 8, by="event_type"),
+            "value", by="event_type",
+        ).select("event_id", "bucket").orderBy("event_id").toPandas()
+        assert a["bucket"].tolist() == b["bucket"].tolist()
+
+    def test_transform_is_map_only(self, spark):
+        """the transform side must not shuffle the scan: broadcast join +
+        HOF fold only"""
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+            quantile_bin,
+        )
+
+        ev = self._ev(spark)
+        bins = fit_quantile_bins(ev, "value", 8, by="event_type")
+        out = quantile_bin(ev, bins, "value", by="event_type")
+        p = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p, p
+        assert "Exchange hashpartitioning" not in p.split(
+            "BroadcastExchange"
+        )[0], p
+
+    def test_rejects_bad_bins(self, spark):
+        from featurescreening_jl_spark.operators.feature_encoding import (
+            fit_quantile_bins,
+        )
+
+        with pytest.raises(ValueError, match="n_bins"):
+            fit_quantile_bins(self._ev(spark), "value", 1)
