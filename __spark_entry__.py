@@ -2608,6 +2608,45 @@ def q_quantile_bin(spark, sf):
     )
 
 
+def q_dq_profile(spark, sf):
+    """Single-pass per-column data profiling (operators/dataquality.py
+    profile_columns): row/null counts, exact distinct count, min/max —
+    the ingest-observability gate a 100 TB pipeline fronts every load
+    with. ONE aggregate job for all columns; approx=True (not used here
+    so the oracle stays exact) swaps count_distinct for the HLL sketch
+    to avoid the k-fold Expand on wide profiles."""
+    from featurescreening_jl_spark.operators.dataquality import (
+        profile_columns,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return profile_columns(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def q_dq_checks(spark, sf):
+    """Declarative constraint gate (operators/dataquality.py
+    check_constraints): five checks — key not-null + unique, n_chars
+    range, lang whitelist, source shape regex — compiled into ONE
+    aggregate pass; output is the per-constraint verdict table."""
+    from featurescreening_jl_spark.operators.dataquality import (
+        check_constraints,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return check_constraints(
+        docs,
+        [
+            ("not_null", "doc_id"),
+            ("unique", "doc_id"),
+            ("in_range", "n_chars", 1, 100000),
+            ("allowed", "lang", ["en", "de", "fr", "es", "zh"]),
+            ("matches", "source", "^src[0-9]+$"),
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2734,6 +2773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_segments": q_semantic_segments,
         "doc_pagerank": q_doc_pagerank,
         "quantile_bin": q_quantile_bin,
+        "dq_profile": q_dq_profile,
+        "dq_checks": q_dq_checks,
     }
 
 
@@ -5761,5 +5802,65 @@ def oracle_sql() -> dict[str, str]:
                                          x -> e.value >= x))
                END::INT AS bucket
         FROM events e JOIN b ON b.event_type = e.event_type
+    """
+    d["dq_profile"] = """
+        WITH base AS (SELECT * FROM documents)
+        SELECT 'doc_id' AS column, count(*)::BIGINT AS n_rows,
+               (count(*) - count(doc_id))::BIGINT AS n_null,
+               round(1.0 - count(doc_id) * 1.0 / count(*), 6) AS null_rate,
+               count(DISTINCT doc_id)::BIGINT AS n_distinct,
+               min(doc_id)::VARCHAR AS min_value,
+               max(doc_id)::VARCHAR AS max_value FROM base
+        UNION ALL
+        SELECT 'text', count(*), count(*) - count(text),
+               round(1.0 - count(text) * 1.0 / count(*), 6),
+               count(DISTINCT text), min(text), max(text) FROM base
+        UNION ALL
+        SELECT 'lang', count(*), count(*) - count(lang),
+               round(1.0 - count(lang) * 1.0 / count(*), 6),
+               count(DISTINCT lang), min(lang), max(lang) FROM base
+        UNION ALL
+        SELECT 'source', count(*), count(*) - count(source),
+               round(1.0 - count(source) * 1.0 / count(*), 6),
+               count(DISTINCT source), min(source), max(source) FROM base
+        UNION ALL
+        SELECT 'n_chars', count(*), count(*) - count(n_chars),
+               round(1.0 - count(n_chars) * 1.0 / count(*), 6),
+               count(DISTINCT n_chars),
+               min(n_chars)::VARCHAR, max(n_chars)::VARCHAR FROM base
+    """
+    d["dq_checks"] = """
+        WITH base AS (SELECT * FROM documents)
+        SELECT 'not_null' AS check, 'doc_id' AS column,
+               (count(*) - count(doc_id))::BIGINT AS violations,
+               (count(*) - count(doc_id)) = 0 AS passed FROM base
+        UNION ALL
+        SELECT 'unique', 'doc_id',
+               (count(doc_id) - count(DISTINCT doc_id))::BIGINT,
+               (count(doc_id) - count(DISTINCT doc_id)) = 0 FROM base
+        UNION ALL
+        SELECT 'in_range', 'n_chars',
+               coalesce(sum(CASE WHEN n_chars IS NOT NULL
+                          AND (n_chars < 1 OR n_chars > 100000)
+                     THEN 1 ELSE 0 END), 0)::BIGINT,
+               coalesce(sum(CASE WHEN n_chars IS NOT NULL
+                          AND (n_chars < 1 OR n_chars > 100000)
+                     THEN 1 ELSE 0 END), 0) = 0 FROM base
+        UNION ALL
+        SELECT 'allowed', 'lang',
+               coalesce(sum(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en','de','fr','es','zh')
+                     THEN 1 ELSE 0 END), 0)::BIGINT,
+               coalesce(sum(CASE WHEN lang IS NOT NULL
+                          AND lang NOT IN ('en','de','fr','es','zh')
+                     THEN 1 ELSE 0 END), 0) = 0 FROM base
+        UNION ALL
+        SELECT 'matches', 'source',
+               coalesce(sum(CASE WHEN source IS NOT NULL
+                          AND NOT regexp_matches(source, '^src[0-9]+$')
+                     THEN 1 ELSE 0 END), 0)::BIGINT,
+               coalesce(sum(CASE WHEN source IS NOT NULL
+                          AND NOT regexp_matches(source, '^src[0-9]+$')
+                     THEN 1 ELSE 0 END), 0) = 0 FROM base
     """
     return d
