@@ -152,6 +152,10 @@ HEADLINE = [
     "pool_embeddings",
     "curriculum",
     "semantic_segments",
+    "doc_pagerank",
+    "quantile_bin",
+    "dq_profile",
+    "dq_checks",
 ]
 
 
