@@ -2647,6 +2647,28 @@ def q_dq_checks(spark, sf):
     )
 
 
+def q_cohort_retention(spark, sf):
+    """Weekly cohort retention over events (operators/window_features.py
+    cohort_retention): cohort = week of each user's first event; cells
+    count distinct active users per (cohort, week offset) with the
+    retention fraction against the cohort's offset-0 size. One window
+    min + one distinct-count aggregate; the denominator joins from the
+    tiny matrix itself, broadcast."""
+    from featurescreening_jl_spark.operators.window_features import (
+        cohort_retention,
+    )
+
+    ev = _t(spark, sf, "events")
+    out = cohort_retention(ev, by="user_id", ts_col="ts", period="week")
+    # repo convention: emit epoch SECONDS as a long, never a raw
+    # timestamp — pandas surfaces Spark timestamps as datetime64[ns] but
+    # DuckDB's as datetime64[us], and the epoch canonicalization is
+    # unit-sensitive
+    return out.withColumn(
+        "cohort", F.unix_timestamp(F.col("cohort").cast("timestamp"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2775,6 +2797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bin": q_quantile_bin,
         "dq_profile": q_dq_profile,
         "dq_checks": q_dq_checks,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -5862,5 +5885,26 @@ def oracle_sql() -> dict[str, str]:
                coalesce(sum(CASE WHEN source IS NOT NULL
                           AND NOT regexp_matches(source, '^src[0-9]+$')
                      THEN 1 ELSE 0 END), 0) = 0 FROM base
+    """
+    d["cohort_retention"] = """
+        WITH f AS (
+          SELECT user_id,
+                 date_trunc('week', ts) AS p,
+                 date_trunc('week', min(ts) OVER (PARTITION BY user_id))
+                     AS cohort_ts
+          FROM events
+        ),
+        m AS (
+          SELECT cohort_ts::DATE AS cohort,
+                 (date_diff('day', cohort_ts::DATE, p::DATE) / 7)::BIGINT
+                     AS "offset",
+                 count(DISTINCT user_id)::BIGINT AS n_active
+          FROM f GROUP BY 1, 2
+        )
+        SELECT epoch(m.cohort::TIMESTAMP)::BIGINT AS cohort,
+               m."offset", m.n_active,
+               round(m.n_active * 1.0 / b.n_active, 6) AS retention
+        FROM m JOIN (SELECT cohort, n_active FROM m WHERE "offset" = 0) b
+          ON b.cohort = m.cohort
     """
     return d

@@ -156,6 +156,7 @@ HEADLINE = [
     "quantile_bin",
     "dq_profile",
     "dq_checks",
+    "cohort_retention",
 ]
 
 

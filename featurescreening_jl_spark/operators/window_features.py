@@ -39,6 +39,7 @@ __all__ = [
     "expanding_rank",
     "forward_label",
     "session_stats",
+    "cohort_retention",
 ]
 
 
@@ -651,4 +652,70 @@ def session_stats(
         F.min(es).alias("start_epoch"),
         F.max(es).alias("end_epoch"),
         (F.max(es) - F.min(es)).alias("duration_sec"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix over an event stream: cohort = the
+    ``period`` (date_trunc) of each entity's FIRST event; for every
+    (cohort, period-offset) cell, how many distinct entities were active
+    and what fraction of the cohort that is — the standard longitudinal
+    activity rollup (user retention, but equally conversation
+    re-engagement or crawl-source persistence).
+
+    Scale shape: the first-event period comes from one whole-partition
+    window min (single shuffle on ``by``, no groupBy+self-join); the
+    matrix is one (cohort, offset) hash aggregate whose distinct-count
+    partials combine map-side; the per-cohort denominator joins from the
+    offset-0 row of the MATRIX itself (periods² rows, broadcast) — the
+    raw stream is never touched again. Output:
+    ``(cohort, offset, n_active, retention)`` with retention rounded
+    6 dp; offset counted in ``period`` units from the cohort period.
+    """
+    if period not in ("week", "month", "day"):
+        raise ValueError(f"unsupported period {period!r}")
+    per_unit = {"day": 1, "week": 7}
+    ts = F.col(ts_col)
+    p = F.date_trunc(period, ts)
+    first_p = F.date_trunc(
+        period, F.min(ts).over(Window.partitionBy(by))
+    )
+    if period == "month":
+        offset = (
+            (F.year(p) - F.year(first_p)) * 12
+            + (F.month(p) - F.month(first_p))
+        ).cast("long")
+    else:
+        offset = (
+            F.datediff(p.cast("date"), first_p.cast("date"))
+            / per_unit[period]
+        ).cast("long")
+    matrix = (
+        df.select(
+            F.col(by).alias("__e"),
+            first_p.cast("date").alias("cohort"),
+            offset.alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct("__e").alias("n_active"))
+    )
+    base = matrix.where(F.col("offset") == 0).select(
+        "cohort", F.col("n_active").alias("__cohort_size")
+    )
+    return (
+        matrix.join(F.broadcast(base), "cohort")
+        .select(
+            "cohort",
+            "offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("__cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
     )

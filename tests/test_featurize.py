@@ -648,3 +648,79 @@ class TestSessionStats:
         assert (pdf["duration_sec"] >= 0).all()
         assert (pdf["end_epoch"] >= pdf["start_epoch"]).all()
         assert (pdf["n_turns"] >= 1).all()
+
+
+class TestCohortRetention:
+    def _events(self, spark):
+        # 3 weekly cohorts with designed decay:
+        #  cohort W0: users 0-9, all active W0; 6 active W1; 2 active W2
+        #  cohort W1: users 10-14, all active W1; 3 active W2
+        #  cohort W2: user 15 only
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1)  # a Monday
+        rows = []
+
+        def add(u, week):
+            rows.append(
+                (u, base + datetime.timedelta(days=7 * week + u % 5))
+            )
+
+        for u in range(10):
+            add(u, 0)
+        for u in range(6):
+            add(u, 1)
+        for u in range(2):
+            add(u, 2)
+        for u in range(10, 15):
+            add(u, 1)
+        for u in range(10, 13):
+            add(u, 2)
+        add(15, 2)
+        return spark.createDataFrame(rows, "user_id long, ts timestamp")
+
+    def test_matrix_and_rates(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            cohort_retention,
+        )
+
+        out = {
+            (str(r["cohort"]), r["offset"]): (r["n_active"], r["retention"])
+            for r in cohort_retention(self._events(spark)).collect()
+        }
+        assert out[("2024-01-01", 0)] == (10, 1.0)
+        assert out[("2024-01-01", 1)] == (6, 0.6)
+        assert out[("2024-01-01", 2)] == (2, 0.2)
+        assert out[("2024-01-08", 0)] == (5, 1.0)
+        assert out[("2024-01-08", 1)] == (3, 0.6)
+        assert out[("2024-01-15", 0)] == (1, 1.0)
+        assert len(out) == 6
+
+    def test_monthly_period(self, spark):
+        import datetime
+
+        from featurescreening_jl_spark.operators.window_features import (
+            cohort_retention,
+        )
+
+        rows = [
+            (1, datetime.datetime(2024, 1, 15)),
+            (1, datetime.datetime(2024, 3, 2)),   # offset 2 months
+            (2, datetime.datetime(2024, 2, 28)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = {
+            (str(r["cohort"]), r["offset"]): r["n_active"]
+            for r in cohort_retention(df, period="month").collect()
+        }
+        assert out[("2024-01-01", 0)] == 1
+        assert out[("2024-01-01", 2)] == 1
+        assert out[("2024-02-01", 0)] == 1
+
+    def test_rejects_unknown_period(self, spark):
+        from featurescreening_jl_spark.operators.window_features import (
+            cohort_retention,
+        )
+
+        with pytest.raises(ValueError, match="period"):
+            cohort_retention(self._events(spark), period="year")
