@@ -2669,6 +2669,30 @@ def q_cohort_retention(spark, sf):
     )
 
 
+def q_fuzzy_join(spark, sf):
+    """Sound edit-distance join (operators/fuzzy_join.py
+    edit_distance_join): match the documents table against its edited
+    snapshot (every 7th doc gets ' v2' appended — the snapshot_diff
+    derivation) at levenshtein ≤ 3 via the Gravano q-gram count bound +
+    length window + banded exact verify. Output provably equals the
+    brute-force cross filter, which is exactly what the oracle runs
+    (with the same sound length prefilter for DuckDB runtime)."""
+    from featurescreening_jl_spark.operators.fuzzy_join import (
+        edit_distance_join,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 1000)
+    edited = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return edit_distance_join(
+        docs, edited, "doc_id", "text", max_dist=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2798,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": q_dq_profile,
         "dq_checks": q_dq_checks,
         "cohort_retention": q_cohort_retention,
+        "fuzzy_join": q_fuzzy_join,
     }
 
 
@@ -5906,5 +5931,19 @@ def oracle_sql() -> dict[str, str]:
                round(m.n_active * 1.0 / b.n_active, 6) AS retention
         FROM m JOIN (SELECT cohort, n_active FROM m WHERE "offset" = 0) b
           ON b.cohort = m.cohort
+    """
+    d["fuzzy_join"] = """
+        WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        snap AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                     AS text
+          FROM base
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.text, b.text)::INT AS dist
+        FROM base a JOIN snap b
+          ON abs(length(a.text) - length(b.text)) <= 3
+        WHERE levenshtein(a.text, b.text) <= 3
     """
     return d

@@ -157,6 +157,7 @@ HEADLINE = [
     "dq_profile",
     "dq_checks",
     "cohort_retention",
+    "fuzzy_join",
 ]
 
 
