@@ -724,3 +724,54 @@ class TestCohortRetention:
 
         with pytest.raises(ValueError, match="period"):
             cohort_retention(self._events(spark), period="year")
+
+
+class TestSessionizeVsNativeSessionWindow:
+    def test_session_boundaries_match_builtin(self, spark):
+        """two independent implementations: our lag+cumsum sessionize vs
+        Spark's native session_window aggregate must carve identical
+        sessions (same per-conversation session count and same turn
+        count per session). Boundary semantics differ AT exactly-gap
+        spacing (ours keeps `gap == g` in-session, session_window
+        closes), so the generator draws gaps strictly away from the
+        threshold — the regime every real stream is in."""
+        import datetime
+        import random
+
+        from featurescreening_jl_spark.operators.window_features import (
+            sessionize,
+        )
+
+        rng = random.Random(13)
+        base = datetime.datetime(2024, 3, 1)
+        rows = []
+        for conv in range(30):
+            t = base + datetime.timedelta(minutes=rng.randint(0, 500))
+            for turn in range(rng.randint(1, 40)):
+                rows.append((f"c{conv}", turn, t))
+                # short gaps well under, occasional burst well over 30 min
+                if rng.random() < 0.2:
+                    t += datetime.timedelta(seconds=rng.randint(2000, 9000))
+                else:
+                    t += datetime.timedelta(seconds=rng.randint(1, 1500))
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, ts timestamp"
+        )
+
+        ours = (
+            sessionize(df, gap_seconds=1800)
+            .groupBy("conv_id", "session_id")
+            .count()
+        )
+        a = sorted(
+            (r["conv_id"], r["count"]) for r in ours.collect()
+        )
+        native = (
+            df.groupBy(
+                "conv_id", F.session_window("ts", "30 minutes")
+            ).count()
+        )
+        b = sorted(
+            (r["conv_id"], r["count"]) for r in native.collect()
+        )
+        assert a == b
