@@ -2693,6 +2693,39 @@ def q_fuzzy_join(spark, sf):
     )
 
 
+def q_calibration(spark, sf):
+    """Reliability (calibration) rollup — composition showcase: the
+    heuristic quality score binned into exact deciles via the
+    fit/transform discretizer, each bin rolled up to (count, mean
+    score, empirical positive rate) against a deterministic label
+    (lang == 'en'). Scores round to 6dp BEFORE the fit so both engines
+    bin identical value multisets."""
+    from featurescreening_jl_spark.operators.feature_encoding import (
+        fit_quantile_bins,
+        quantile_bin,
+    )
+    from featurescreening_jl_spark.operators.text_analysis import (
+        quality_score,
+    )
+
+    docs = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    bins = fit_quantile_bins(scored, "q", 10)
+    return (
+        quantile_bin(scored, bins, "q")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("q"), 6).alias("mean_score"),
+            F.round(F.avg("label"), 6).alias("pos_rate"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2823,6 +2856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_checks": q_dq_checks,
         "cohort_retention": q_cohort_retention,
         "fuzzy_join": q_fuzzy_join,
+        "calibration": q_calibration,
     }
 
 
@@ -5945,5 +5979,60 @@ def oracle_sql() -> dict[str, str]:
         FROM base a JOIN snap b
           ON abs(length(a.text) - length(b.text)) <= 3
         WHERE levenshtein(a.text, b.text) <= 3
+    """
+    d["calibration"] = """
+        WITH q AS (
+          SELECT doc_id, lang,
+                 length(text)::DOUBLE AS n_chars,
+                 (CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                  END)::DOUBLE AS n_tokens,
+                 (length(text)
+                  - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                     AS n_punct,
+                 (length(text)
+                  - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                     AS n_upper,
+                 len(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       w -> list_contains(
+                              ['the','a','an','and','or','of','to','in',
+                               'is','it','for','on','with','as','at','by',
+                               'that','this'], w)))::DOUBLE AS n_stop
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, lang,
+                 n_chars / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                 ELSE 1.0 END) AS mwl,
+                 n_punct / (CASE WHEN n_chars > 0 THEN n_chars
+                                 ELSE 1.0 END) AS pr,
+                 n_upper / (CASE WHEN n_chars > 0 THEN n_chars
+                                 ELSE 1.0 END) AS ur,
+                 n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                ELSE 1.0 END) AS sr,
+                 ln(1.0 + n_tokens) AS lt
+          FROM q
+        ),
+        scored AS (
+          SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-(-1.0 + 6.0 * sr - 8.0 * pr
+                                          - 4.0 * ur - 0.15 * mwl
+                                          + 0.25 * lt))), 6) AS qs,
+                 (lang = 'en')::INT AS label
+          FROM f
+        ),
+        b AS (
+          SELECT list_transform(
+                   quantile_cont(qs, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   x -> round(x, 6)) AS bs
+          FROM scored
+        )
+        SELECT len(list_filter(b.bs, x -> s.qs >= x))::INT AS bucket,
+               count(*)::BIGINT AS n,
+               round(avg(s.qs), 6) AS mean_score,
+               round(avg(s.label), 6) AS pos_rate
+        FROM scored s CROSS JOIN b
+        GROUP BY 1
     """
     return d

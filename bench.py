@@ -158,6 +158,7 @@ HEADLINE = [
     "dq_checks",
     "cohort_retention",
     "fuzzy_join",
+    "calibration",
 ]
 
 
