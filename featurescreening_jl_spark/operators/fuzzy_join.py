@@ -45,11 +45,16 @@ __all__ = ["edit_distance_join"]
 
 
 def _gram_counts(df: DataFrame, id_col: str, text_col: str, q: int):
-    """(id, len, gram, cnt) — multiset of overlapping char q-grams."""
+    """(id, len, gram, cnt) — multiset of overlapping char q-grams,
+    keyed by their 64-bit hash: the index join shuffles 8-byte keys
+    instead of strings, and a hash collision merely MERGES two grams'
+    counts, which can only raise the computed shared mass
+    (min(a1+a2, b1+b2) ≥ min(a1,b1) + min(a2,b2)) — the count filter
+    stays a sound superset, and verify decides membership regardless."""
     t = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(t) - q + 1, F.lit(0))),
-        lambda i: t.substr(i, F.lit(q)),
+        lambda i: F.xxhash64(t.substr(i, F.lit(q))),
     )
     return (
         df.select(
