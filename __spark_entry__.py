@@ -2726,6 +2726,31 @@ def q_calibration(spark, sf):
     )
 
 
+def q_corpus_cube(spark, sf):
+    """Multi-dimensional corpus composition in ONE pass: CUBE(lang,
+    source) expands each row into its 4 grouping combinations map-side
+    (Expand node) and aggregates them all in a single shuffle — the
+    alternative (4 separate groupBys + union) scans the corpus 4 times.
+    Rolled-up dimensions render as '(all)' (the data has no NULL dims,
+    so coalesce is unambiguous and engine-portable)."""
+    docs = _t(spark, sf, "documents")
+    return (
+        docs.cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "total_chars",
+            "avg_chars",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2857,6 +2882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "fuzzy_join": q_fuzzy_join,
         "calibration": q_calibration,
+        "corpus_cube": q_corpus_cube,
     }
 
 
@@ -6034,5 +6060,14 @@ def oracle_sql() -> dict[str, str]:
                round(avg(s.label), 6) AS pos_rate
         FROM scored s CROSS JOIN b
         GROUP BY 1
+    """
+    d["corpus_cube"] = """
+        SELECT coalesce(lang, '(all)') AS lang,
+               coalesce(source, '(all)') AS source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY CUBE(lang, source)
     """
     return d

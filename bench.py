@@ -159,6 +159,7 @@ HEADLINE = [
     "cohort_retention",
     "fuzzy_join",
     "calibration",
+    "corpus_cube",
 ]
 
 

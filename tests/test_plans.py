@@ -448,3 +448,23 @@ class TestAQESkewJoin:
         finally:
             for k, v in keep.items():
                 spark.conf.set(k, v)
+
+
+class TestCubeSinglePass:
+    def test_cube_is_one_scan_one_shuffle(self, spark):
+        """CUBE must plan ONE FileScan + Expand + a single aggregation
+        exchange — not a union of per-grouping scans"""
+        import __spark_entry__ as em
+
+        out = em.queries()["corpus_cube"](spark, SF)
+        p = plan(out)
+        assert p.count("FileScan") == 1, p
+        assert "Expand" in p, p
+        # exactly one AGGREGATION exchange (keyed on the grouping id);
+        # the entry's _t helper adds its own read-side repartition, which
+        # is not the cube's doing
+        agg_exchanges = [
+            l for l in p.splitlines()
+            if "Exchange hashpartitioning" in l and "spark_grouping_id" in l
+        ]
+        assert len(agg_exchanges) == 1, p
