@@ -444,7 +444,12 @@ class TestAQESkewJoin:
             p = plan(j)
             assert "isFinalPlan=true" in p, p
             assert "SortMergeJoin(skew=true)" in p, p
-            assert "AQEShuffleRead skewed" in p, p
+            # reader may read "skewed" alone or "coalesced and skewed"
+            # depending on the session's shuffle-partition count
+            assert any(
+                "AQEShuffleRead" in l and "skewed" in l
+                for l in p.splitlines()
+            ), p
         finally:
             for k, v in keep.items():
                 spark.conf.set(k, v)
