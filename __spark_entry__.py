@@ -2751,6 +2751,22 @@ def q_corpus_cube(spark, sf):
     )
 
 
+def q_ks_drift(spark, sf):
+    """Exact two-sample Kolmogorov–Smirnov drift gate
+    (operators/profiling.py ks_statistic): purchase-event value
+    distribution vs everything else — the binning-free complement to
+    psi_drift. Values pre-aggregate to per-rounded-value counts
+    map-side, so the cumulative window runs over the bounded distinct
+    table only; the oracle replays the full-outer ECDF merge and the
+    (max d, min v) tie-break."""
+    from featurescreening_jl_spark.operators.profiling import ks_statistic
+
+    ev = _t(spark, sf, "events")
+    a = ev.where(F.col("event_type") == "purchase")
+    b = ev.where(F.col("event_type") != "purchase")
+    return ks_statistic(a, b, "value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "projection": q_projection,
@@ -2883,6 +2899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_join": q_fuzzy_join,
         "calibration": q_calibration,
         "corpus_cube": q_corpus_cube,
+        "ks_drift": q_ks_drift,
     }
 
 
@@ -6069,5 +6086,33 @@ def oracle_sql() -> dict[str, str]:
                round(avg(n_chars), 4) AS avg_chars
         FROM documents
         GROUP BY CUBE(lang, source)
+    """
+    d["ks_drift"] = """
+        WITH va AS (
+          SELECT round(value, 6) AS v, count(*)::DOUBLE AS n1
+          FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+          GROUP BY 1
+        ),
+        vb AS (
+          SELECT round(value, 6) AS v, count(*)::DOUBLE AS n2
+          FROM events WHERE event_type <> 'purchase' AND value IS NOT NULL
+          GROUP BY 1
+        ),
+        m AS (
+          SELECT coalesce(va.v, vb.v) AS v,
+                 coalesce(n1, 0) AS n1, coalesce(n2, 0) AS n2
+          FROM va FULL OUTER JOIN vb ON va.v = vb.v
+        ),
+        c AS (
+          SELECT v,
+                 round(abs(sum(n1) OVER (ORDER BY v) / sum(n1) OVER ()
+                         - sum(n2) OVER (ORDER BY v) / sum(n2) OVER ()), 6)
+                     AS d,
+                 sum(n1) OVER () AS na, sum(n2) OVER () AS nb
+          FROM m
+        )
+        SELECT d AS ks_stat, v AS at_value,
+               na::BIGINT AS n_a, nb::BIGINT AS n_b
+        FROM c ORDER BY d DESC, v ASC LIMIT 1
     """
     return d

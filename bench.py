@@ -160,6 +160,7 @@ HEADLINE = [
     "fuzzy_join",
     "calibration",
     "corpus_cube",
+    "ks_drift",
 ]
 
 

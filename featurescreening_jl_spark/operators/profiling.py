@@ -42,6 +42,7 @@ __all__ = [
     "heavy_hitters",
     "robust_outliers",
     "snapshot_diff",
+    "ks_statistic",
 ]
 
 
@@ -364,3 +365,80 @@ def snapshot_diff(
     if rows:
         return per_key
     return per_key.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    *,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic — the
+    binning-free complement to :func:`psi_drift` (PSI needs frozen
+    edges; KS compares whole ECDFs and flags drift PSI's bins can
+    hide).
+
+    Returns ONE row: ``(ks_stat, at_value, n_a, n_b)`` — the max
+    ``|ECDF_a − ECDF_b|`` over observed values, the value where it is
+    attained (ties: smallest such value), and the two sample sizes.
+
+    Scale shape: values round to ``round_dp`` and pre-aggregate to
+    per-value counts MAP-SIDE (the 10^12-row input collapses to the
+    bounded distinct-rounded-value table — ≤ a few million rows for
+    doubles in any realistic range), the two count tables full-outer
+    join on value, and the single cumulative window runs over that
+    BOUNDED table only — one task over pre-aggregated rows, the same
+    bounded-final-state class as the profile gates. Rounding shifts the
+    exact statistic by at most the mass within half an ulp of a
+    boundary (identical in both engines, so the oracle matches
+    exactly).
+    """
+    va = (
+        a.select(F.round(F.col(value_col).cast("double"), round_dp).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    vb = (
+        b.select(F.round(F.col(value_col).cast("double"), round_dp).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    merged = va.join(vb, "v", "full_outer").select(
+        "v",
+        F.coalesce("n1", F.lit(0)).alias("n1"),
+        F.coalesce("n2", F.lit(0)).alias("n2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    curves = merged.select(
+        "v",
+        (F.sum("n1").over(w) / F.sum("n1").over(tot)).alias("f1"),
+        (F.sum("n2").over(w) / F.sum("n2").over(tot)).alias("f2"),
+        F.sum("n1").over(tot).alias("__na"),
+        F.sum("n2").over(tot).alias("__nb"),
+    ).select(
+        "v",
+        F.round(F.abs(F.col("f1") - F.col("f2")), round_dp).alias("d"),
+        "__na",
+        "__nb",
+    )
+    # argmax with smallest-value tie-break, as a single aggregate
+    return curves.agg(
+        F.max("d").alias("ks_stat"),
+        # max_by on (d, -v): max d first, then the SMALLEST v among ties
+        F.max_by("v", F.struct("d", (-F.col("v")).alias("nv"))).alias(
+            "at_value"
+        ),
+        F.first("__na").alias("n_a"),
+        F.first("__nb").alias("n_b"),
+    ).select(
+        "ks_stat",
+        "at_value",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )

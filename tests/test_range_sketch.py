@@ -246,3 +246,72 @@ class TestKmvOverlap:
         )
         assert "Window" not in plan
         assert "Broadcast" in plan
+
+
+class TestKSStatistic:
+    def _np_ks(self, xa, xb):
+        import numpy as np
+
+        allv = np.sort(np.unique(np.round(np.concatenate([xa, xb]), 6)))
+        fa = np.searchsorted(
+            np.sort(np.round(xa, 6)), allv, side="right"
+        ) / len(xa)
+        fb = np.searchsorted(
+            np.sort(np.round(xb, 6)), allv, side="right"
+        ) / len(xb)
+        d = np.abs(fa - fb)
+        i = d.argmax()
+        return round(float(d.max()), 6), float(allv[i])
+
+    def test_matches_numpy_ecdf_replay(self, spark):
+        import numpy as np
+
+        from featurescreening_jl_spark.operators.profiling import (
+            ks_statistic,
+        )
+
+        rng = np.random.default_rng(5)
+        xa = rng.normal(0, 1, 4000)
+        xb = rng.normal(0.3, 1.2, 3000)
+        a = spark.createDataFrame([(float(x),) for x in xa], "value double")
+        b = spark.createDataFrame([(float(x),) for x in xb], "value double")
+        [row] = ks_statistic(a, b, "value").collect()
+        want_d, want_v = self._np_ks(xa, xb)
+        assert abs(row["ks_stat"] - want_d) < 2e-6
+        assert abs(row["at_value"] - want_v) < 1e-9
+        assert (row["n_a"], row["n_b"]) == (4000, 3000)
+
+    def test_identical_distributions_give_zero(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            ks_statistic,
+        )
+
+        df = spark.range(500).select((F.col("id") % 37).cast("double").alias("value"))
+        [row] = ks_statistic(df, df, "value").collect()
+        assert row["ks_stat"] == 0.0
+
+    def test_disjoint_distributions_give_one(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            ks_statistic,
+        )
+
+        a = spark.range(100).select(F.col("id").cast("double").alias("value"))
+        b = spark.range(100).select(
+            (F.col("id") + 1000).cast("double").alias("value")
+        )
+        [row] = ks_statistic(a, b, "value").collect()
+        assert row["ks_stat"] == 1.0
+        assert row["at_value"] == 99.0  # end of a's support
+
+    def test_nulls_excluded(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            ks_statistic,
+        )
+
+        a = spark.createDataFrame(
+            [(1.0,), (2.0,), (None,)], "value double"
+        )
+        b = spark.createDataFrame([(1.0,), (2.0,)], "value double")
+        [row] = ks_statistic(a, b, "value").collect()
+        assert row["n_a"] == 2 and row["n_b"] == 2
+        assert row["ks_stat"] == 0.0
