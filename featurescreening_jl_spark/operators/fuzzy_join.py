@@ -31,6 +31,18 @@ simply pass filter 2 and are decided by the length window + verify —
 correct, just less pruned, and worth a dedicated short-string path if a
 corpus is dominated by them.
 
+Two candidate generators, both sound, for two corpus regimes
+(measured on local[32]):
+
+- the COUNT-BOUND path (default) screens every colliding pair by
+  shared-gram mass before verify — it wins when strings cluster
+  tightly and candidate pairs need cheap rejection (200k
+  near-identical catalog strings, k=1: 91 s vs 252 s prefix);
+- the PREFIX-FILTER path (``prefix_filter=True``) indexes only each
+  string's k·q+1 rarest grams — it wins on natural text where the
+  full gram index is the cost (5k ~300-char documents, k=3: 14.6 s
+  vs 48.0 s count-bound; identical output).
+
 Reference scope: the reference has no string layer; this is the
 training-data graft's fuzzy-matching primitive (SURVEY.md §2 LLM ops),
 the edit-distance sibling of ``ngram_jaccard_pairs_indexed``.
@@ -76,6 +88,7 @@ def edit_distance_join(
     max_dist: int = 2,
     q: int = 3,
     max_gram_df: int | None = None,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """All (left, right) pairs with ``levenshtein ≤ max_dist``.
 
@@ -84,12 +97,33 @@ def edit_distance_join(
     self-joins filter ``id_a < id_b`` themselves). Output equals the
     brute-force cross-product filter exactly; see module docstring for
     why the pruning is lossless.
+
+    ``prefix_filter=True`` switches candidate generation to the ed-join
+    prefix filter (Xiao et al., EDBT 2008): each string indexes only its
+    first ``k·q + 1`` DISTINCT grams in a global gram order — k edits
+    destroy at most k·q distinct grams, so two strings within distance k
+    must share a gram inside both prefixes (disjoint prefixes would cap
+    the set overlap at |D|−kq−1 < |D|−kq, the destruction bound; the
+    argument survives gram hashing since collisions only merge sets).
+    The index shrinks from |grams| to ≤ kq+1 rows per string — the
+    high-similarity-corpus scale path, where the full-index count filter
+    drowns in candidates. Strings with ≤ k·q distinct grams (short or
+    highly repetitive) have a vacuous bound and pair through the length
+    window instead. The global order is (df ASC, gram ASC) — see
+    ``_prefix_filter_join`` for why frequency-ascending is load-bearing.
+    ``max_gram_df`` is ignored in this mode (hot grams are already
+    pushed OUT of prefixes by the ordering).
     """
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     if q < 2:
         raise ValueError("q must be >= 2")
     k = int(max_dist)
+
+    if prefix_filter:
+        return _prefix_filter_join(
+            left, right, id_col, text_col, k=k, q=q
+        )
 
     la = _gram_counts(left, id_col, text_col, q)
     lb = _gram_counts(right, id_col, text_col, q)
@@ -235,3 +269,130 @@ def edit_distance_join(
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+def _verify_pairs(ids, left, right, id_col, text_col, k):
+    """Exact membership: join candidate ids back to texts, keep banded
+    levenshtein ≤ k."""
+    ta = left.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta")
+    )
+    tb = right.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb")
+    )
+    dist = F.levenshtein("__ta", "__tb", k)
+    return (
+        ids.join(ta, "id_a")
+        .join(tb, "id_b")
+        .withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+def _prefix_filter_join(left, right, id_col, text_col, *, k, q):
+    """ed-join prefix-filtered candidate generation (see
+    edit_distance_join docstring for the soundness argument).
+
+    The global gram order is (document frequency ASC, gram ASC) — the
+    load-bearing half of the technique: ANY total order is sound, but a
+    frequency-agnostic order (e.g. raw hash) lets one hot structural
+    gram land in every string's prefix and the candidate join goes
+    quadratic (measured: the 200k near-identical-string workload never
+    finished under hash order; df-ascending puts each string's RAREST
+    grams in its prefix, so prefix collisions track genuine rarity)."""
+    p = k * q + 1
+
+    def distinct_grams(df, ida, lena):
+        t = F.col(text_col)
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.length(t) - q + 1, F.lit(0)),
+                ),
+                lambda i: F.xxhash64(t.substr(i, F.lit(q))),
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(ida),
+            F.length(t).alias(lena),
+            F.size(grams).alias("__nd"),
+            F.explode_outer(grams).alias("__gram"),
+        )
+
+    dga = distinct_grams(left, "id_a", "len_a")
+    dgb = distinct_grams(right, "id_b", "len_b")
+    df_tab = (
+        dga.select("__gram")
+        .unionByName(dgb.select("__gram"))
+        .where(F.col("__gram").isNotNull())
+        .groupBy("__gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+
+    def prepare(dg, ida, lena):
+        # vacuous-bound strings (|D| <= k·q): length-window fallback
+        smalls = (
+            dg.where(F.col("__nd") <= k * q)
+            .select(ida, lena)
+            .distinct()
+        )
+        prefixes = (
+            dg.where(F.col("__nd") > k * q)
+            .join(df_tab, "__gram")
+            .groupBy(ida, lena)
+            .agg(
+                F.slice(
+                    F.array_sort(
+                        F.collect_list(F.struct("__df", "__gram"))
+                    ),
+                    1,
+                    p,
+                ).alias("__prefix")
+            )
+            .select(
+                ida,
+                lena,
+                F.explode("__prefix").alias("__pg"),
+            )
+            .select(ida, lena, F.col("__pg.__gram").alias("__gram"))
+        )
+        return prefixes, smalls
+
+    pa, sa = prepare(dga, "id_a", "len_a")
+    pb, sb = prepare(dgb, "id_b", "len_b")
+
+    cand = (
+        pa.join(pb, "__gram")
+        .where(F.abs(F.col("len_a") - F.col("len_b")) <= k)
+        .select("id_a", "id_b")
+    )
+    # smalls pair with EVERYTHING in the length window: small×small may
+    # share zero grams, and small×large pairs are only guaranteed a
+    # shared gram inside the LARGE side's prefix when the small side
+    # indexes all its grams — which the vacuous filter no longer does,
+    # so both cross terms route through the window. Smalls are rare in
+    # document corpora; for a short-string-heavy workload replace the
+    # broadcast theta-join with a length-bucket equi-join (bucket =
+    # len // (k+1), join own ± neighbor buckets).
+    all_b = right.select(
+        F.col(id_col).alias("id_b"), F.length(text_col).alias("len_b")
+    )
+    all_a = left.select(
+        F.col(id_col).alias("id_a"), F.length(text_col).alias("len_a")
+    )
+    small_x = (
+        sa.join(
+            F.broadcast(all_b),
+            F.abs(F.col("len_a") - F.col("len_b")) <= k,
+        ).select("id_a", "id_b")
+    )
+    x_small = (
+        all_a.join(
+            F.broadcast(sb),
+            F.abs(F.col("len_a") - F.col("len_b")) <= k,
+        ).select("id_a", "id_b")
+    )
+    ids = cand.unionByName(small_x).unionByName(x_small).distinct()
+    return _verify_pairs(ids, left, right, id_col, text_col, k)

@@ -55,7 +55,8 @@ def _corpus(spark, seed, n=60, with_short=False):
 
 class TestEditDistanceJoin:
     @pytest.mark.parametrize("k", [1, 2, 3])
-    def test_equals_brute_force(self, spark, k):
+    @pytest.mark.parametrize("prefix", [False, True])
+    def test_equals_brute_force(self, spark, k, prefix):
         from featurescreening_jl_spark.operators.fuzzy_join import (
             edit_distance_join,
         )
@@ -64,7 +65,7 @@ class TestEditDistanceJoin:
         got = set(
             (r["id_a"], r["id_b"], r["dist"])
             for r in edit_distance_join(
-                docs, docs, max_dist=k
+                docs, docs, max_dist=k, prefix_filter=prefix
             ).collect()
         )
         assert got == _brute(spark, docs, docs, k)
@@ -80,12 +81,36 @@ class TestEditDistanceJoin:
 
         docs = _corpus(spark, seed=3, with_short=True)
         k = 1
+        for prefix in (False, True):
+            got = set(
+                (r["id_a"], r["id_b"], r["dist"])
+                for r in edit_distance_join(
+                    docs, docs, max_dist=k, prefix_filter=prefix
+                ).collect()
+            )
+            assert got == _brute(spark, docs, docs, k), prefix
+            # "ab" ~ "ac": zero shared 3-grams
+            assert (2000, 2001, 1) in got, prefix
+
+    def test_repetitive_strings_covered_by_prefix_path(self, spark):
+        """a long repetitive string has ONE distinct gram (<= k*q): the
+        prefix bound is vacuous despite the length — must fall back"""
+        from featurescreening_jl_spark.operators.fuzzy_join import (
+            edit_distance_join,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a" * 30), (2, "a" * 29 + "b"), (3, "c" * 30)],
+            "doc_id long, text string",
+        )
         got = set(
             (r["id_a"], r["id_b"], r["dist"])
-            for r in edit_distance_join(docs, docs, max_dist=k).collect()
+            for r in edit_distance_join(
+                docs, docs, max_dist=1, prefix_filter=True
+            ).collect()
         )
-        assert got == _brute(spark, docs, docs, k)
-        assert (2000, 2001, 1) in got  # "ab" ~ "ac": zero shared 3-grams
+        assert got == _brute(spark, docs, docs, 1)
+        assert (1, 2, 1) in got
 
     def test_gram_df_cap_is_lossless(self, spark):
         """dropping hot grams lowers the bound by the dropped mass — the
