@@ -5,8 +5,11 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ..., ...extras}``
 
 Env knobs: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
-``SPARK_GRAFT_CPUS`` (default 32). Each query is fully materialized via the
-noop sink (count() alone would let Catalyst prune the work away).
+``SPARK_GRAFT_CPUS`` (default 32), ``SPARK_GRAFT_BENCH_REPS`` (default 2:
+the full query list runs REPS interleaved passes and each query reports
+its MIN — see the burst-weather note in main()). Each query is fully
+materialized via the noop sink (count() alone would let Catalyst prune
+the work away).
 
 The two-parallelism scaling run (N vs 4N cores — the sandbox proxy for N vs
 4N executors) lives in tools/bench_scaling.py; its results go to
@@ -222,16 +225,36 @@ def main() -> None:
 
     # optional argv subset for iteration: `python bench.py q1 q2 ...`
     names = [a for a in sys.argv[1:] if not a.startswith("-")] or HEADLINE
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # measurement isolation: a query that legitimately leaves cached
-        # tables behind for its own consumers (the flagship keeps its loop
-        # cache for the materialization above) must not make every LATER
-        # query compete with that resident cache for executor memory
-        spark.catalog.clearCache()
+    # INTERLEAVED repetitions, per-query MIN. This sandbox host shows
+    # minutes-long co-tenant bursts (steal + lock-holder-preemption system
+    # time) that inflate whichever queries happen to run inside the burst
+    # 5-50x — two back-to-back full runs each had a different arbitrary
+    # slow set. Back-to-back per-query reps would NOT fix that (a burst
+    # outlives both reps); running the whole list REPS times and taking
+    # each query's min decorrelates the reps by the length of a full pass
+    # (~several minutes), so a query's best rep almost always lands
+    # outside any single burst. The min is the honest estimator here:
+    # variance is exogenous (host weather), strictly additive, and the
+    # quantity being measured — the plan's compute cost — is the floor.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    per_rep: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            materialize(qs[name](spark, SF_DIR))
+            per_rep[name].append(time.perf_counter() - t0)
+            # measurement isolation: a query that legitimately leaves
+            # cached tables behind for its own consumers (the flagship
+            # keeps its loop cache for the materialization above) must not
+            # make every LATER query compete with that resident cache for
+            # executor memory
+            spark.catalog.clearCache()
+    timings = {n: round(min(ts), 3) for n, ts in per_rep.items()}
+    # weather report: median over queries of (max rep / min rep). ~1.0 on
+    # a quiet box; well above ~1.5 means bursts hit one of the passes and
+    # the min-of-reps correction was load-bearing for this JSON.
+    spreads = sorted(max(ts) / max(min(ts), 1e-9) for ts in per_rep.values())
+    rep_spread = round(spreads[len(spreads) // 2], 3) if spreads else 1.0
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -241,6 +264,8 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cpus": CPUS,
+        "bench_reps": reps,
+        "rep_spread_median": rep_spread,
         # 1.0 = quiet box; >1.1 = co-tenant steal inflated this run
         "parallel_interference": parallel_interference(),
     }
