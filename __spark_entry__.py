@@ -828,6 +828,39 @@ def q_contamination(spark, sf):
     )
 
 
+def q_contamination_bitmap(spark, sf):
+    """The large-benchmark decontamination regime: broadcast of the EXACT
+    benchmark gram index disabled (the 10^8-gram eval-union case), so the
+    join must shuffle — and a fitted 2^17-bit membership bitmap
+    (operators/decontam.py build_gram_bitmap, a hand-rolled k=1 Bloom
+    over xxhash64 + bit_or since bloom_filter_agg is not SQL-registered
+    in this build) drops non-benchmark corpus grams MAP-SIDE before that
+    exchange. Bloom filters have no false negatives and the join
+    re-verifies survivors exactly, so the oracle is IDENTICAL to
+    `contamination`'s — same pairs, same counts."""
+    from featurescreening_jl_spark.operators.decontam import (
+        build_gram_bitmap,
+        contamination_pairs,
+    )
+
+    docs = _t(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("text").substr(11, 200).alias("text"),
+    )
+    bm = build_gram_bitmap(bench, n=5, log2_bits=17)
+    return contamination_pairs(
+        docs,
+        bench,
+        n=5,
+        min_shared=2,
+        broadcast_benchmark=False,
+        prefilter_bitmap=bm,
+    ).select(
+        "doc_id", "bench_id", F.col("n_shared").cast("long").alias("n_shared")
+    )
+
+
 def q_weighted_reservoir(spark, sf):
     # Importance-weighted corpus sampling (A-Res, weight = text length):
     # the oracle reproduces the portable md5→unit hash and the u^(1/w)
@@ -2824,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_mix": q_token_budget_mix,
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
+        "contamination_bitmap": q_contamination_bitmap,
         "pii_redaction": q_pii_redaction,
         "conv_truncate": q_conv_truncate,
         "conv_validity": q_conv_validity,
@@ -6115,4 +6149,7 @@ def oracle_sql() -> dict[str, str]:
                na::BIGINT AS n_a, nb::BIGINT AS n_b
         FROM c ORDER BY d DESC, v ASC LIMIT 1
     """
+    # the bitmap prefilter is a superset screen re-verified by the exact
+    # join — its oracle IS contamination's oracle (identical output)
+    d["contamination_bitmap"] = d["contamination"]
     return d

@@ -164,6 +164,7 @@ HEADLINE = [
     "calibration",
     "corpus_cube",
     "ks_drift",
+    "contamination_bitmap",
 ]
 
 

@@ -23,12 +23,118 @@ part of the LLM-training-data graft layer (same family as
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from featurescreening_jl_spark.operators.dedup import shingles
 
-__all__ = ["contamination_pairs", "flag_contaminated"]
+__all__ = [
+    "contamination_pairs",
+    "flag_contaminated",
+    "GramBitmap",
+    "build_gram_bitmap",
+    "bitmap_contains",
+]
+
+
+@dataclass(frozen=True)
+class GramBitmap:
+    """A broadcastable bitmap (k=1 Bloom filter) over a gram set's 64-bit
+    hashes. ``words`` is the bit array as ``2^log2_bits / 64`` int64
+    words; ``n`` records the gram length it was fitted for (probe-side
+    shingling must match). False-positive rate ≈ set density =
+    n_distinct_grams / 2^log2_bits; false negatives are impossible, so a
+    downstream exact join sees a SUPERSET of its true probe rows and
+    produces identical results."""
+
+    words: tuple
+    log2_bits: int
+    n: int
+
+
+def build_gram_bitmap(
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    log2_bits: int = 20,
+) -> GramBitmap:
+    """Fit half of the bitmap-prefiltered decontamination path: collapse
+    the benchmark's distinct word ``n``-grams into a ``2^log2_bits``-bit
+    membership bitmap (one eager, bounded Spark job — the fit/transform
+    split used by ``fit_quantile_bins``; callers compose the returned
+    value into lazy plans).
+
+    Why this exists: ``contamination_pairs``'s default plan broadcasts
+    the benchmark's EXACT gram index, which is right while eval sets are
+    thousands of rows. When the "benchmark" side is itself large — the
+    union of every eval suite plus held-out documents, 10^8-10^9 distinct
+    grams whose strings no longer broadcast — the join must shuffle the
+    corpus gram stream, and at 10^12 corpus grams that shuffle IS the
+    cost. A 2^30-bit bitmap is 128 MiB regardless of gram-string width,
+    still broadcasts, and drops ~(1 - density) of corpus grams MAP-SIDE
+    before the exchange; the exact join then re-verifies survivors, so
+    results stay exact (Bloom filters have no false negatives).
+
+    Spark's own ``bloom_filter_agg`` is not SQL-registered in this build,
+    so the bitmap is assembled from public primitives: gram →
+    ``xxhash64`` → bit position, ``bit_or`` aggregate per 64-bit word
+    (map-side combinable, ≤ 2^log2_bits/64 result rows), collected and
+    densified driver-side."""
+    nbits = 1 << log2_bits
+    g = benchmark.select(
+        F.explode_outer(shingles(F.col(text_col), n=n)).alias("__g")
+    ).where(F.col("__g").isNotNull() & (F.length("__g") > 0))
+    pos = F.pmod(F.xxhash64(F.col("__g")), F.lit(nbits))
+    packed = (
+        g.select(pos.alias("__p"))
+        .select(
+            F.shiftright(F.col("__p"), 6).alias("__w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(F.col("__p"), F.lit(64)).cast("int"),
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__b").alias("__bits"))
+        .collect()
+    )
+    words = [0] * (nbits >> 6)
+    for r in packed:
+        words[r["__w"]] = r["__bits"]
+    return GramBitmap(words=tuple(words), log2_bits=log2_bits, n=n)
+
+
+def _long_array_literal(values) -> Column:
+    # one generated-SQL expr, not element-wise F.lit (the
+    # double_array_literal lesson: one py4j round-trip per element makes
+    # big literals a plan-construction bottleneck)
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in values) + ")")
+
+
+def bitmap_contains(gram_col: Column, bm: GramBitmap) -> Column:
+    """Boolean test of ``gram_col`` against a fitted :class:`GramBitmap`.
+    May return true for absent grams (rate ≈ bitmap density), never false
+    for present ones. The bit position is bound ONCE as a lambda variable
+    (it feeds both the word index and the bit mask — referencing the raw
+    hash expression twice would evaluate xxhash64 twice per row)."""
+    nbits = 1 << bm.log2_bits
+    arr = _long_array_literal(bm.words)
+    pos = F.pmod(F.xxhash64(gram_col), F.lit(nbits))
+
+    def test(p: Column) -> Column:
+        word = F.element_at(arr, (F.shiftright(p, 6) + 1).cast("int"))
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(p, F.lit(64)).cast("int"),
+        )
+        return word.bitwiseAND(bit) != 0
+
+    return F.element_at(F.transform(F.array(pos), test), 1)
 
 
 def _exploded_ngrams(
@@ -57,6 +163,7 @@ def contamination_pairs(
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
     broadcast_benchmark: bool = True,
+    prefilter_bitmap: GramBitmap | None = None,
 ) -> DataFrame:
     """``(id_col, bench_id_col, n_shared)`` for every corpus document
     sharing ≥ ``min_shared`` distinct word ``n``-grams with a benchmark
@@ -67,10 +174,22 @@ def contamination_pairs(
     ``broadcast_benchmark=True`` (default) pins the broadcast-hash-join
     strategy — set it False only if the "benchmark" side is genuinely
     large, in which case a shuffled join on the n-gram string applies.
-    ``n`` defaults to 8 words, the common decontamination gram length;
-    lower it for short benchmark prompts.
+    For that large-benchmark regime pass ``prefilter_bitmap`` (fitted by
+    :func:`build_gram_bitmap` with the SAME ``n``): corpus grams that
+    cannot be in the benchmark are dropped map-side BEFORE the shuffle,
+    cutting the exchanged volume by ~1/density; the join then re-verifies
+    the surviving superset exactly, so output is identical with or
+    without the bitmap. ``n`` defaults to 8 words, the common
+    decontamination gram length; lower it for short benchmark prompts.
     """
+    if prefilter_bitmap is not None and prefilter_bitmap.n != n:
+        raise ValueError(
+            f"prefilter_bitmap was fitted for n={prefilter_bitmap.n}, "
+            f"probe uses n={n} — membership would be meaningless"
+        )
     c = _exploded_ngrams(corpus, id_col, text_col, n)
+    if prefilter_bitmap is not None:
+        c = c.where(bitmap_contains(F.col("__g"), prefilter_bitmap))
     b = _exploded_ngrams(benchmark, bench_id_col, bench_text_col, n).select(
         F.col(bench_id_col), F.col("__g").alias("__bg")
     )

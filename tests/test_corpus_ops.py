@@ -14,6 +14,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from featurescreening_jl_spark.operators.decontam import (
+    bitmap_contains,
+    build_gram_bitmap,
     contamination_pairs,
     flag_contaminated,
 )
@@ -162,6 +164,91 @@ class TestContamination:
         c = spark.createDataFrame([(0, ""), (1, "   ")], ["doc_id", "text"])
         b = spark.createDataFrame([(9, "")], ["bench_id", "text"])
         assert contamination_pairs(c, b, n=3).count() == 0
+
+
+class TestBitmapPrefilter:
+    def test_membership_no_false_negatives(self, spark):
+        # every gram that went into the fit must test positive; grams that
+        # did not should (at this density: 4 grams / 2^16 bits) all test
+        # negative — a deterministic check, the hashes never change
+        bench = spark.createDataFrame(
+            [(0, "alpha beta gamma delta epsilon zeta")], ["bench_id", "text"]
+        )
+        bm = build_gram_bitmap(bench, n=3, log2_bits=16)
+        present = [
+            "alpha beta gamma",
+            "beta gamma delta",
+            "gamma delta epsilon",
+            "delta epsilon zeta",
+        ]
+        absent = [f"missing gram {i}" for i in range(50)]
+        probe = spark.createDataFrame(
+            [(g, True) for g in present] + [(g, False) for g in absent],
+            ["g", "expect"],
+        )
+        rows = probe.select(
+            "expect", bitmap_contains(F.col("g"), bm).alias("hit")
+        ).collect()
+        for r in rows:
+            if r["expect"]:
+                assert r["hit"], "bitmap dropped a gram it was built from"
+            else:
+                assert not r["hit"]
+
+    def test_prefiltered_pairs_identical_to_exact(self, spark, corpus):
+        # the bitmap is a superset screen + exact re-verify: output must be
+        # row-identical to the unfiltered shuffled-join path
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over"), (901, "the lazy dog today")],
+            ["bench_id", "text"],
+        )
+        bm = build_gram_bitmap(bench, n=3, log2_bits=14)
+        exact = contamination_pairs(
+            corpus, bench, n=3, broadcast_benchmark=False
+        )
+        filtered = contamination_pairs(
+            corpus,
+            bench,
+            n=3,
+            broadcast_benchmark=False,
+            prefilter_bitmap=bm,
+        )
+        as_set = lambda df: {  # noqa: E731
+            (r["doc_id"], r["bench_id"], r["n_shared"]) for r in df.collect()
+        }
+        assert as_set(filtered) == as_set(exact)
+        assert len(as_set(exact)) > 0  # non-vacuous
+
+    def test_gram_length_mismatch_raises(self, spark, corpus):
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over")], ["bench_id", "text"]
+        )
+        bm = build_gram_bitmap(bench, n=4, log2_bits=14)
+        with pytest.raises(ValueError, match="fitted for n=4"):
+            contamination_pairs(corpus, bench, n=3, prefilter_bitmap=bm)
+
+    def test_bitmap_filter_sits_below_the_join(self, spark, corpus):
+        # the whole point is dropping corpus grams BEFORE the shuffle: the
+        # bitmap test (its shiftleft word/bit arithmetic) must appear under
+        # the join in the optimized plan, not above it
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over")], ["bench_id", "text"]
+        )
+        bm = build_gram_bitmap(bench, n=3, log2_bits=14)
+        plan = (
+            contamination_pairs(
+                corpus,
+                bench,
+                n=3,
+                broadcast_benchmark=False,
+                prefilter_bitmap=bm,
+            )
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "shiftleft" in plan
+        assert plan.index("Join") < plan.index("shiftleft")
 
 
 class TestPII:
