@@ -2248,7 +2248,15 @@ def q_conv_neardup(spark, sf):
         # bands per pair in expectation, promoting nearly all 1.28M
         # natural pairs to screening candidates (measured 15 s -> 45 s).
         # r=4 drops that to 0.027 expected while true pairs (J≈0.95)
-        # still band with prob 1-1.4e-6 per the S-curve.
+        # still band with prob ~1 per the S-curve. 32 hashes (8 bands),
+        # not the 64-hash default: signature compute dominates this
+        # query's long rendered texts, and at J≈0.95 the 8-band miss
+        # probability is (1-0.95^4)^8 ≈ 1.4e-6 — measured: pair sets
+        # IDENTICAL to the 64-hash run at sf0.001/0.01/0.1, warm time
+        # 11.8 s → 5.5 s. A corpus hunting pairs near the 0.8 threshold
+        # (not 0.95 clones) should keep 64.
+        num_hashes=32,
+        bands=8,
         # rendered conversations are ~100× longer than documents and sit
         # atop a join+groupBy plan: shingle once, not per branch
         checkpoint_shingles=True,
