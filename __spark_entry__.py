@@ -2530,6 +2530,90 @@ def q_soft_dedup(spark, sf):
     return soft_dedup_weights(docs, pairs)
 
 
+def q_kmeans_cells(spark, sf):
+    """Distributed exact-integer Lloyd's k-means
+    (operators/clustering.py): corpus bucketing over the FULL embeddings
+    table — k=8, 3 iterations, 10^-3 fixed-point grid — the
+    whole-corpus complement to ivf's bounded-sample centroid training.
+    Every step is int64 (snap, argmin, sums, round-half-away-from-zero
+    centroid update), so the oracle replays init (portable-md5 order),
+    all three assignment/update rounds, and the final assignment as
+    stacked CTEs — value-exact across engines, no tolerance, despite
+    the operator being iterative."""
+    from featurescreening_jl_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    cents = kmeans_fit(emb, k=8, dim=64, iters=3)
+    return kmeans_assign(emb, cents).select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int, dim: int) -> str:
+    """CTE-chain replay of kmeans_fit + kmeans_assign (pure integer
+    arithmetic end-to-end — see operators/clustering.py for why the
+    centroid update divides |s| only)."""
+
+    def assign(t: int, cents: str) -> str:
+        return f"""a{t}_r AS (
+              SELECT vec_id, x, cell, row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                             i -> (x[i]-c[i])*(x[i]-c[i]))), cell) AS rn
+              FROM xs CROSS JOIN {cents}
+            ),
+            a{t} AS (SELECT vec_id, x, cell FROM a{t}_r WHERE rn = 1)"""
+
+    parts = [
+        """xs AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE)*1000 + 0.5)
+                                 AS BIGINT)) AS x
+              FROM embeddings
+            )""",
+        f"""c0 AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cell,
+                     x AS c
+              FROM (SELECT vec_id, x,
+                           ('0x' || substr(md5('km:' ||
+                               CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS h
+                    FROM xs ORDER BY h, vec_id LIMIT {k})
+            )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(assign(t, f"c{t - 1}"))
+        parts.append(
+            f"""u{t} AS (
+              SELECT cell, i, sum(x[i+1]) AS s, count(*) AS cnt
+              FROM a{t} CROSS JOIN range({dim}) r{t}(i)
+              GROUP BY cell, i
+            )"""
+        )
+        parts.append(
+            f"""c{t} AS (
+              SELECT p.cell, COALESCE(nu.c, p.c) AS c
+              FROM c{t - 1} p LEFT JOIN (
+                SELECT cell,
+                       list(CASE WHEN s >= 0
+                                 THEN (2*s + cnt) // (2*cnt)
+                                 ELSE -((2*(-s) + cnt) // (2*cnt)) END
+                            ORDER BY i) AS c
+                FROM u{t} GROUP BY cell
+              ) nu USING (cell)
+            )"""
+        )
+    parts.append(assign(iters + 1, f"c{iters}"))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{iters + 1}"
+    )
+
+
 def q_pool_embeddings(spark, sf):
     # Group-level embedding pooling (turn/doc -> conversation/source):
     # element-wise mean + L2 normalize, folded INSIDE one hash aggregate
@@ -2931,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "context_budget": q_context_budget,
         "soft_dedup": q_soft_dedup,
         "pool_embeddings": q_pool_embeddings,
+        "kmeans_cells": q_kmeans_cells,
         "curriculum": q_curriculum,
         "semantic_segments": q_semantic_segments,
         "doc_pagerank": q_doc_pagerank,
@@ -6160,4 +6245,7 @@ def oracle_sql() -> dict[str, str]:
     # the bitmap prefilter is a superset screen re-verified by the exact
     # join — its oracle IS contamination's oracle (identical output)
     d["contamination_bitmap"] = d["contamination"]
+    # iterative k-means is oracle-able because it is exact-integer
+    # end-to-end: the CTE chain replays every iteration verbatim
+    d["kmeans_cells"] = _kmeans_oracle_sql(k=8, iters=3, dim=64)
     return d

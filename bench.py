@@ -165,6 +165,7 @@ HEADLINE = [
     "corpus_cube",
     "ks_drift",
     "contamination_bitmap",
+    "kmeans_cells",
 ]
 
 
