@@ -2530,6 +2530,28 @@ def q_soft_dedup(spark, sf):
     return soft_dedup_weights(docs, pairs)
 
 
+def q_embedding_drift(spark, sf):
+    """Embedding-modality drift gate (operators/profiling.py
+    embedding_drift): centroid L2 shift + cosine between two snapshots.
+    Drift synthesized in-query from the data itself (odd vec_ids scaled
+    1.02 and shifted +0.03) so the statistic is non-vacuous. Each side
+    collapses map-side to exact int64 fixed-point sums — the oracle
+    replays the snap, both centroid means, and the drift arithmetic."""
+    from featurescreening_jl_spark.operators.profiling import (
+        embedding_drift,
+    )
+
+    emb = _t(spark, sf, "embeddings")
+    ref = emb.where(F.col("vec_id") % 2 == 0)
+    cur = emb.where(F.col("vec_id") % 2 == 1).select(
+        F.transform(
+            F.col("embedding"),
+            lambda v: v.cast("double") * 1.02 + 0.03,
+        ).alias("embedding")
+    )
+    return embedding_drift(ref, cur, dim=64)
+
+
 def q_kmeans_cells(spark, sf):
     """Distributed exact-integer Lloyd's k-means
     (operators/clustering.py): corpus bucketing over the FULL embeddings
@@ -3016,6 +3038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup": q_soft_dedup,
         "pool_embeddings": q_pool_embeddings,
         "kmeans_cells": q_kmeans_cells,
+        "embedding_drift": q_embedding_drift,
         "curriculum": q_curriculum,
         "semantic_segments": q_semantic_segments,
         "doc_pagerank": q_doc_pagerank,
@@ -6248,4 +6271,37 @@ def oracle_sql() -> dict[str, str]:
     # iterative k-means is oracle-able because it is exact-integer
     # end-to-end: the CTE chain replays every iteration verbatim
     d["kmeans_cells"] = _kmeans_oracle_sql(k=8, iters=3, dim=64)
+    # exact-integer centroid sums make the drift statistic replayable;
+    # the 6dp rounding absorbs the sole remaining float-sum-order slack
+    d["embedding_drift"] = r"""
+        WITH ref AS (
+          SELECT list_transform(embedding,
+                   v -> CAST(floor(CAST(v AS DOUBLE)*1000 + 0.5)
+                             AS BIGINT)) AS x
+          FROM embeddings WHERE vec_id % 2 = 0
+        ),
+        cur AS (
+          SELECT list_transform(embedding,
+                   v -> CAST(floor((CAST(v AS DOUBLE)*1.02 + 0.03)*1000
+                                   + 0.5) AS BIGINT)) AS x
+          FROM embeddings WHERE vec_id % 2 = 1
+        ),
+        ra AS (SELECT i, sum(x[i+1]) AS s, count(*) AS n
+               FROM ref CROSS JOIN range(64) t(i) GROUP BY i),
+        ca AS (SELECT i, sum(x[i+1]) AS s, count(*) AS n
+               FROM cur CROSS JOIN range(64) t(i) GROUP BY i),
+        j AS (SELECT CAST(ra.s AS DOUBLE)/CAST(ra.n AS DOUBLE) AS a,
+                     CAST(ca.s AS DOUBLE)/CAST(ca.n AS DOUBLE) AS b,
+                     ra.n AS nr, ca.n AS nc
+              FROM ra JOIN ca USING (i)),
+        agg AS (SELECT sum((a-b)*(a-b)) AS d2, sum(a*b) AS ab,
+                       sum(a*a) AS aa, sum(b*b) AS bb,
+                       max(nr) AS n_ref, max(nc) AS n_cur
+                FROM j)
+        SELECT round(sqrt(d2), 6) AS l2_shift,
+               round(ab/(sqrt(aa)*sqrt(bb)), 6) AS cosine_sim,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur
+        FROM agg
+    """
     return d

@@ -166,6 +166,7 @@ HEADLINE = [
     "ks_drift",
     "contamination_bitmap",
     "kmeans_cells",
+    "embedding_drift",
 ]
 
 

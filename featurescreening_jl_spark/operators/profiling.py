@@ -43,6 +43,7 @@ __all__ = [
     "robust_outliers",
     "snapshot_diff",
     "ks_statistic",
+    "embedding_drift",
 ]
 
 
@@ -441,4 +442,71 @@ def ks_statistic(
         "at_value",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    dim: int,
+    scale: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Centroid drift between two embedding snapshots — the
+    embedding-modality member of the drift family (``psi_drift`` /
+    ``ks_statistic`` watch scalar columns; a re-embedded or
+    re-distributed corpus moves in vector space first). Returns ONE row:
+    ``(l2_shift, cosine_sim, n_ref, n_cur)`` — the L2 distance and
+    cosine between the two per-dimension mean vectors.
+
+    Scale + determinism: vectors snap to the 10^-scale integer grid
+    (``snap_fixed_point``) and each side collapses MAP-SIDE to a single
+    row of ``dim`` exact int64 sums + a count — the only reduction is
+    integer addition, so the aggregate is invariant to partitioning and
+    core count, and the closing double-precision arithmetic runs on
+    exact integers (engine-replayable at ``round_dp``; the 10^12-row
+    corpus never shuffles, the drift math is a 1×1 cross join).
+    Empty sides produce NULL metrics (0/0), not an error.
+    """
+    from functools import reduce
+    from operator import add
+
+    from featurescreening_jl_spark.operators.clustering import (
+        snap_fixed_point,
+    )
+
+    def side(df: DataFrame, p: str):
+        snapped = df.select(
+            snap_fixed_point(F.col(vec_col), scale).alias("__x")
+        )
+        return snapped.agg(
+            F.count(F.lit(1)).alias(f"{p}n"),
+            *[
+                F.sum(F.element_at("__x", i + 1)).alias(f"{p}s{i}")
+                for i in range(dim)
+            ],
+        )
+
+    joined = side(ref, "r").crossJoin(side(cur, "c"))
+    a = [
+        F.col(f"rs{i}").cast("double") / F.col("rn").cast("double")
+        for i in range(dim)
+    ]
+    b = [
+        F.col(f"cs{i}").cast("double") / F.col("cn").cast("double")
+        for i in range(dim)
+    ]
+    d2 = reduce(add, [(a[i] - b[i]) * (a[i] - b[i]) for i in range(dim)])
+    ab = reduce(add, [a[i] * b[i] for i in range(dim)])
+    aa = reduce(add, [a[i] * a[i] for i in range(dim)])
+    bb = reduce(add, [b[i] * b[i] for i in range(dim)])
+    return joined.select(
+        F.round(F.sqrt(d2), round_dp).alias("l2_shift"),
+        F.round(ab / (F.sqrt(aa) * F.sqrt(bb)), round_dp).alias(
+            "cosine_sim"
+        ),
+        F.col("rn").cast("long").alias("n_ref"),
+        F.col("cn").cast("long").alias("n_cur"),
     )

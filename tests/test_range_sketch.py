@@ -315,3 +315,70 @@ class TestKSStatistic:
         [row] = ks_statistic(a, b, "value").collect()
         assert row["n_a"] == 2 and row["n_b"] == 2
         assert row["ks_stat"] == 0.0
+
+
+class TestEmbeddingDrift:
+    def _drift(self, spark, ref_rows, cur_rows, dim):
+        from featurescreening_jl_spark.operators.profiling import (
+            embedding_drift,
+        )
+
+        ref = spark.createDataFrame(ref_rows, ["vec_id", "embedding"])
+        cur = spark.createDataFrame(cur_rows, ["vec_id", "embedding"])
+        return embedding_drift(ref, cur, dim=dim).collect()[0]
+
+    def test_identical_snapshots_have_zero_drift(self, spark):
+        rows = [(i, [0.5 + i * 0.01, -0.25]) for i in range(6)]
+        r = self._drift(spark, rows, rows, dim=2)
+        assert r["l2_shift"] == 0.0
+        assert r["cosine_sim"] == 1.0
+        assert r["n_ref"] == r["n_cur"] == 6
+
+    def test_matches_numpy_replica(self, spark):
+        import math
+
+        import numpy as np
+
+        ref_rows = [(i, [0.1 * i, -0.05 * i, 0.3]) for i in range(8)]
+        cur_rows = [(i, [0.1 * i + 0.2, -0.05 * i, 0.31]) for i in range(5)]
+        r = self._drift(spark, ref_rows, cur_rows, dim=3)
+
+        def snap(v):
+            return math.floor(float(v) * 1000 + 0.5)
+
+        A = np.array([[snap(v) for v in vec] for _, vec in ref_rows])
+        B = np.array([[snap(v) for v in vec] for _, vec in cur_rows])
+        a, b = A.mean(axis=0), B.mean(axis=0)
+        assert abs(r["l2_shift"] - np.linalg.norm(a - b)) < 1e-5
+        cos = a.dot(b) / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(r["cosine_sim"] - cos) < 1e-5
+
+    def test_translation_moves_l2_not_direction_much(self, spark):
+        # a pure positive shift on one axis: l2_shift equals the shift,
+        # and n bookkeeping survives unequal sizes
+        ref_rows = [(i, [1.0, 0.0]) for i in range(4)]
+        cur_rows = [(i, [1.0, 0.5]) for i in range(9)]
+        r = self._drift(spark, ref_rows, cur_rows, dim=2)
+        assert abs(r["l2_shift"] - 500.0) < 1e-9  # 0.5 on the 10^-3 grid
+        assert r["n_ref"] == 4 and r["n_cur"] == 9
+
+    def test_corpus_never_shuffles(self, spark):
+        from featurescreening_jl_spark.operators.profiling import (
+            embedding_drift,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, [0.1, 0.2]) for i in range(4)], ["vec_id", "embedding"]
+        )
+        cur = spark.createDataFrame(
+            [(i, [0.3, 0.4]) for i in range(4)], ["vec_id", "embedding"]
+        )
+        plan = (
+            embedding_drift(ref, cur, dim=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # partial aggregation collapses each side map-side; the only
+        # exchanges move single-row partials, never hash-partition rows
+        assert "Exchange hashpartitioning" not in plan
