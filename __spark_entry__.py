@@ -861,6 +861,24 @@ def q_contamination_bitmap(spark, sf):
     )
 
 
+def q_exact_stratified(spark, sf):
+    """Exact-size stratified sample (operators/sampling.py
+    exact_stratified_sample): EXACTLY 40 documents apportioned across
+    languages by the largest-remainder method, each stratum contributing
+    its smallest-portable-hash rows. The oracle replays the integer
+    apportionment (floor quotas + remainder seats with the same
+    deterministic tie-break) and the per-stratum md5-hash rank, so exact
+    row MEMBERSHIP is checked, not just counts."""
+    from featurescreening_jl_spark.operators.sampling import (
+        exact_stratified_sample,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return exact_stratified_sample(
+        docs, strata_col="lang", key_col="doc_id", n_total=40
+    ).select("doc_id", "lang")
+
+
 def q_weighted_reservoir(spark, sf):
     # Importance-weighted corpus sampling (A-Res, weight = text length):
     # the oracle reproduces the portable md5→unit hash and the u^(1/w)
@@ -2972,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "contamination": q_contamination,
         "contamination_bitmap": q_contamination_bitmap,
+        "exact_stratified": q_exact_stratified,
         "pii_redaction": q_pii_redaction,
         "conv_truncate": q_conv_truncate,
         "conv_validity": q_conv_validity,
@@ -6268,6 +6287,39 @@ def oracle_sql() -> dict[str, str]:
     # the bitmap prefilter is a superset screen re-verified by the exact
     # join — its oracle IS contamination's oracle (identical output)
     d["contamination_bitmap"] = d["contamination"]
+    # largest-remainder apportionment + per-stratum md5 rank; all-integer
+    # quota arithmetic, so membership replays exactly
+    d["exact_stratified"] = r"""
+        WITH c AS (
+          SELECT coalesce(lang, '<NULL>') AS s, count(*) AS cnt
+          FROM documents GROUP BY 1
+        ),
+        t AS (SELECT sum(cnt) AS n FROM c),
+        ap AS (
+          SELECT s, cnt,
+                 (40*cnt) // n AS base,
+                 row_number() OVER (
+                   ORDER BY (40*cnt) % n DESC, cnt DESC, s ASC) AS rr,
+                 40 - sum((40*cnt) // n) OVER () AS extra
+          FROM c CROSS JOIN t
+        ),
+        alloc AS (
+          SELECT s, base + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS n_k
+          FROM ap
+        ),
+        ranked AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY coalesce(lang, '<NULL>')
+                   ORDER BY ('0x' || substr(md5('42:' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                     doc_id) AS rk
+          FROM documents
+        )
+        SELECT r.doc_id, r.lang
+        FROM ranked r JOIN alloc a ON coalesce(r.lang, '<NULL>') = a.s
+        WHERE r.rk <= a.n_k
+    """
     # iterative k-means is oracle-able because it is exact-integer
     # end-to-end: the CTE chain replays every iteration verbatim
     d["kmeans_cells"] = _kmeans_oracle_sql(k=8, iters=3, dim=64)

@@ -167,6 +167,7 @@ HEADLINE = [
     "contamination_bitmap",
     "kmeans_cells",
     "embedding_drift",
+    "exact_stratified",
 ]
 
 

@@ -47,6 +47,7 @@ __all__ = [
     "hash_unit",
     "hash_split",
     "stratified_sample",
+    "exact_stratified_sample",
     "per_key_cap",
     "weighted_mix",
     "weighted_reservoir",
@@ -416,4 +417,78 @@ def hash_negatives(
         )
         .where(F.col("neg_id") != F.col(id_col))
         .select(id_col, "slot", "neg_id")
+    )
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    n_total: int,
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``n_total`` rows, apportioned across strata by the
+    largest-remainder (Hamilton) method, each stratum contributing its
+    ``n_k`` smallest-portable-hash rows.
+
+    :func:`stratified_sample` keeps a hash-threshold FRACTION — right
+    when proportions matter and counts may float with the data. This is
+    the other contract: the output SIZE is fixed (eval slices, fixed
+    labeling budgets, benchmark subsets), re-runs at any parallelism
+    return the identical rows, and the quota split is exact-integer
+    arithmetic (quota_k = n_total*c_k/N; floors first, the remaining
+    seats go to the largest remainders ``(n_total*c_k) mod N``, ties to
+    the bigger stratum then the smaller stratum value) — deterministic
+    and replayable verbatim in SQL. NULL strata count as ``<NULL>``
+    (the skew_profile convention), not silently dropped.
+
+    Plan: ONE map-side-combined count aggregate (|strata| rows to the
+    driver for the apportionment), then ONE per-stratum rank window
+    ordered by ``hash_unit(seed:key)``. The window is the
+    oracle-checkable verifier form; its one-task-per-stratum sort is the
+    known trap for a mega-stratum at 10^12 rows — the documented scale
+    swap-in is the ``global_rank`` machinery per stratum (range-partition
+    by hash, broadcast per-partition offsets) or a two-phase hash
+    threshold (approx_percentile at n_k/c_k, exact top-off at the
+    boundary), the same exact-verifier/sketch-path trade as
+    ``length_quantiles``. ``n_total`` must be <= the row count; ``n_k``
+    never exceeds its stratum's size (quota_k <= c_k when
+    n_total <= N).
+    """
+    if n_total < 0:
+        raise ValueError("exact_stratified_sample: n_total must be >= 0")
+    s = F.coalesce(F.col(strata_col).cast("string"), F.lit("<NULL>"))
+    counts = sorted(
+        (r["s"], r["cnt"])
+        for r in df.groupBy(s.alias("s"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    total = sum(c for _, c in counts)
+    if n_total > total:
+        raise ValueError(
+            f"exact_stratified_sample: n_total={n_total} > {total} rows"
+        )
+    alloc = {v: (n_total * c) // total for v, c in counts}
+    extra = n_total - sum(alloc.values())
+    by_remainder = sorted(
+        counts, key=lambda vc: (-((n_total * vc[1]) % total), -vc[1], vc[0])
+    )
+    for v, _ in by_remainder[:extra]:
+        alloc[v] += 1
+    quota = None
+    for v, n_k in alloc.items():
+        cond = s == F.lit(v)
+        quota = (
+            F.when(cond, n_k) if quota is None else quota.when(cond, n_k)
+        )
+    quota = F.lit(0) if quota is None else quota.otherwise(0)
+    w = Window.partitionBy(s).orderBy(
+        hash_unit(F.col(key_col), seed), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= quota)
+        .drop("__rk")
     )

@@ -389,3 +389,87 @@ class TestHashNegatives:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with _pytest.raises(ValueError):
             hash_negatives(emb, "vec_id", k=0)
+
+
+class TestExactStratifiedSample:
+    def _df(self, spark):
+        rows = (
+            [(i, "en") for i in range(0, 55)]
+            + [(i, "de") for i in range(100, 130)]
+            + [(i, "fr") for i in range(200, 212)]
+            + [(i, None) for i in range(300, 303)]
+        )
+        return spark.createDataFrame(rows, ["doc_id", "lang"])
+
+    def test_exact_total_and_hamilton_apportionment(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            exact_stratified_sample,
+        )
+
+        df = self._df(spark)
+        out = exact_stratified_sample(
+            df, strata_col="lang", key_col="doc_id", n_total=20
+        ).collect()
+        assert len(out) == 20
+        got = {}
+        for r in out:
+            got[r["lang"]] = got.get(r["lang"], 0) + 1
+        # replicate Hamilton: counts en=55 de=30 fr=12 null=3, N=100
+        counts = {"en": 55, "de": 30, "fr": 12, "<NULL>": 3}
+        base = {v: 20 * c // 100 for v, c in counts.items()}
+        extra = 20 - sum(base.values())
+        order = sorted(
+            counts.items(), key=lambda vc: (-(20 * vc[1] % 100), -vc[1], vc[0])
+        )
+        for v, _ in order[:extra]:
+            base[v] += 1
+        want = {(None if v == "<NULL>" else v): n for v, n in base.items() if n}
+        assert got == want
+
+    def test_partitioning_invariance_same_rows(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            exact_stratified_sample,
+        )
+
+        df = self._df(spark)
+        a = {
+            r["doc_id"]
+            for r in exact_stratified_sample(
+                df.repartition(1), strata_col="lang", key_col="doc_id",
+                n_total=33,
+            ).collect()
+        }
+        b = {
+            r["doc_id"]
+            for r in exact_stratified_sample(
+                df.repartition(17, "doc_id"), strata_col="lang",
+                key_col="doc_id", n_total=33,
+            ).collect()
+        }
+        assert a == b and len(a) == 33
+
+    def test_validation_and_edges(self, spark):
+        from featurescreening_jl_spark.operators.sampling import (
+            exact_stratified_sample,
+        )
+
+        df = self._df(spark)
+        assert (
+            exact_stratified_sample(
+                df, strata_col="lang", key_col="doc_id", n_total=0
+            ).count()
+            == 0
+        )
+        # taking every row returns every row exactly once
+        assert (
+            exact_stratified_sample(
+                df, strata_col="lang", key_col="doc_id", n_total=100
+            ).count()
+            == 100
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_total=101 > 100"):
+            exact_stratified_sample(
+                df, strata_col="lang", key_col="doc_id", n_total=101
+            )
