@@ -861,6 +861,28 @@ def q_contamination_bitmap(spark, sf):
     )
 
 
+def q_encoding_quality(spark, sf):
+    """Mojibake / binary-junk gate (operators/text_analysis.py
+    encoding_quality): U+FFFD and C0-control counts, ratios, and a
+    threshold verdict — the encoding-hygiene check that runs BEFORE the
+    linguistic quality filters. Damage is synthesized in-query (every
+    9th doc gets three replacement chars and three control bytes
+    appended) so both verdict branches are exercised; the oracle replays
+    the injection and the identical regex arithmetic."""
+    from featurescreening_jl_spark.operators.text_analysis import (
+        encoding_quality,
+    )
+
+    docs = _t(spark, sf, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit("���\x01\x02\x0b")),
+        ).otherwise(F.col("text")),
+    )
+    return encoding_quality(docs)
+
+
 def q_exact_stratified(spark, sf):
     """Exact-size stratified sample (operators/sampling.py
     exact_stratified_sample): EXACTLY 40 documents apportioned across
@@ -2991,6 +3013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "contamination_bitmap": q_contamination_bitmap,
         "exact_stratified": q_exact_stratified,
+        "encoding_quality": q_encoding_quality,
         "pii_redaction": q_pii_redaction,
         "conv_truncate": q_conv_truncate,
         "conv_validity": q_conv_validity,
@@ -6287,6 +6310,41 @@ def oracle_sql() -> dict[str, str]:
     # the bitmap prefilter is a superset screen re-verified by the exact
     # join — its oracle IS contamination's oracle (identical output)
     d["contamination_bitmap"] = d["contamination"]
+    # identical Java∩RE2 regex arithmetic re-run in DuckDB; the injected
+    # damage makes both verdict branches non-vacuous
+    d["encoding_quality"] = r"""
+        WITH injected AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 0
+                      THEN text || '���' || chr(1) || chr(2) || chr(11)
+                      ELSE text END AS text
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 length(text) - length(regexp_replace(text, '�', '', 'g'))
+                     AS n_repl,
+                 length(text) - length(regexp_replace(text,
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl
+          FROM injected
+        )
+        SELECT doc_id,
+               n_chars::BIGINT AS n_chars,
+               n_repl::BIGINT AS n_replacement,
+               n_ctrl::BIGINT AS n_control,
+               round(CASE WHEN n_chars > 0
+                          THEN n_repl / n_chars ELSE 0 END, 6)
+                   AS replacement_ratio,
+               round(CASE WHEN n_chars > 0
+                          THEN n_ctrl / n_chars ELSE 0 END, 6)
+                   AS control_ratio,
+               ((CASE WHEN n_chars > 0 THEN n_repl / n_chars ELSE 0 END)
+                   <= 0.001
+                AND (CASE WHEN n_chars > 0 THEN n_ctrl / n_chars ELSE 0 END)
+                   <= 0.001) AS encoding_ok
+        FROM m
+    """
     # largest-remainder apportionment + per-stratum md5 rank; all-integer
     # quota arithmetic, so membership replays exactly
     d["exact_stratified"] = r"""

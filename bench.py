@@ -168,6 +168,7 @@ HEADLINE = [
     "kmeans_cells",
     "embedding_drift",
     "exact_stratified",
+    "encoding_quality",
 ]
 
 

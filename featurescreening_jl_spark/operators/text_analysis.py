@@ -33,6 +33,7 @@ __all__ = [
     "pmi_bigrams",
     "shannon_entropy",
     "entropy_features",
+    "encoding_quality",
 ]
 
 # Fixed public weights for the logistic quality scorer — a C4/Gopher-style
@@ -1063,4 +1064,59 @@ def entropy_features(
         F.size("__ts").cast("long").alias("n_tokens"),
         shannon_entropy(F.col("__cs")).alias("char_entropy"),
         shannon_entropy(F.col("__ts")).alias("token_entropy"),
+    )
+
+
+def encoding_quality(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_replacement_ratio: float = 0.001,
+    max_control_ratio: float = 0.001,
+) -> DataFrame:
+    """Mojibake / binary-junk gate — the encoding-hygiene check that runs
+    BEFORE the linguistic quality filters (a page decoded with the wrong
+    charset scores fine on length/stopword heuristics while being
+    garbage): per document, counts of U+FFFD replacement characters
+    (the universal "decode failed here" marker) and C0 control
+    characters (excluding tab/newline/carriage-return — their presence
+    means binary content leaked into the text column), their ratios to
+    character length, and a boolean verdict against the caller's
+    thresholds (empty documents pass: no evidence of damage).
+
+    Pure ``length(text) - length(regexp_replace(...))`` arithmetic over
+    shared Java-regex/RE2 character classes — map-only, zero shuffles,
+    zero UDFs, engine-replayable (the ``strip_markup`` contract).
+
+    Output: ``id_col, n_chars, n_replacement, n_control,
+    replacement_ratio, control_ratio, encoding_ok``.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    n_repl = n_chars - F.length(
+        F.regexp_replace(text, "�", "")
+    )
+    n_ctrl = n_chars - F.length(
+        F.regexp_replace(
+            text, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", ""
+        )
+    )
+    repl_ratio = F.when(n_chars > 0, n_repl / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    ctrl_ratio = F.when(n_chars > 0, n_ctrl / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_repl.cast("long").alias("n_replacement"),
+        n_ctrl.cast("long").alias("n_control"),
+        F.round(repl_ratio, 6).alias("replacement_ratio"),
+        F.round(ctrl_ratio, 6).alias("control_ratio"),
+        (
+            (repl_ratio <= F.lit(float(max_replacement_ratio)))
+            & (ctrl_ratio <= F.lit(float(max_control_ratio)))
+        ).alias("encoding_ok"),
     )

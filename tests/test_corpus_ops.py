@@ -720,3 +720,54 @@ class TestHashedVerify:
             hashed_verify=True,
         )
         assert out2.count() == 1
+
+
+class TestEncodingQuality:
+    def test_goldens(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            encoding_quality,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (0, "clean text here"),
+                (1, "bad �� decode"),
+                (2, "ctrl\x01\x02 here"),
+                (3, ""),
+                (4, "x" * 2000 + "�"),
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in encoding_quality(docs).collect()}
+        assert rows[0]["n_replacement"] == 0 and rows[0]["encoding_ok"]
+        assert rows[1]["n_replacement"] == 2 and not rows[1]["encoding_ok"]
+        assert rows[2]["n_control"] == 2 and not rows[2]["encoding_ok"]
+        # empty docs pass: no evidence of damage, and no 0/0
+        assert rows[3]["n_chars"] == 0 and rows[3]["encoding_ok"]
+        # 1 bad char in 2001 -> ratio ~0.0005 stays under the 0.001 gate
+        assert rows[4]["n_replacement"] == 1 and rows[4]["encoding_ok"]
+
+    def test_tab_newline_cr_are_not_control_damage(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            encoding_quality,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a\tb\nc\rd")], ["doc_id", "text"]
+        )
+        [r] = encoding_quality(docs).collect()
+        assert r["n_control"] == 0 and r["encoding_ok"]
+
+    def test_map_only_plan(self, spark):
+        from featurescreening_jl_spark.operators.text_analysis import (
+            encoding_quality,
+        )
+
+        docs = spark.createDataFrame([(0, "t")], ["doc_id", "text"])
+        plan = (
+            encoding_quality(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
