@@ -437,6 +437,43 @@ def q_transcripts_asof_backfill(spark, sf):
     return out.select("conv_id", "turn_idx", "last_tool")
 
 
+def q_asof_leakage_audit(spark, sf):
+    """Operational zero-temporal-leakage audit over the flagship
+    backfill: run the same window-strategy as-of join but attach the
+    matched source row's OWN timestamp, then roll the table to ONE row —
+    rows, matched rows, violations (matched_ts > cutoff; MUST be 0: the
+    north_rule's leakage contract as a runnable production audit, not
+    only a pytest property), and the max matched-minus-cutoff lead in
+    exact integer µs (≤ 0 when sane). The oracle recomputes the as-of
+    match independently as a correlated max-ts subquery and replays the
+    same integer rollup — two different join formulations agreeing on
+    the audit is itself the check."""
+    from featurescreening_jl_spark.operators.asof_join import asof_join
+
+    t = _transcripts(spark, sf)
+    queries_df = t.select("conv_id", "ts", "turn_idx")
+    sources = t.where(F.col("tool").isNotNull()).select(
+        "conv_id", "ts", F.col("ts").alias("matched_ts")
+    )
+    out = asof_join(
+        queries_df, sources, on="ts", by="conv_id",
+        value_cols=["matched_ts"], strategy="window",
+    )
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("matched_ts").cast("long").alias("n_matched"),
+        F.sum(
+            F.when(F.col("matched_ts") > F.col("ts"), 1).otherwise(0)
+        ).cast("long").alias("n_violations"),
+        F.max(
+            # parquet carries TIMESTAMP_NTZ; unix_micros requires LTZ
+            # (session tz is pinned UTC, so the cast is value-preserving)
+            F.unix_micros(F.col("matched_ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+        ).cast("long").alias("max_lead_us"),
+    )
+
+
 def q_asof_join_merge(spark, sf):
     # third as-of strategy (cogroup + pandas.merge_asof) on the events shape
     from featurescreening_jl_spark.operators.asof_join import asof_join
@@ -2974,6 +3011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "screen_pipeline": q_screen_pipeline,
         "asof_join_merge": q_asof_join_merge,
+        "asof_leakage_audit": q_asof_leakage_audit,
         "transcripts_shape": q_transcripts_shape,
         "transcripts_turn_features": q_transcripts_turn_features,
         "transcripts_conversation_agg": q_transcripts_conversation_agg,
@@ -6310,6 +6348,27 @@ def oracle_sql() -> dict[str, str]:
     # the bitmap prefilter is a superset screen re-verified by the exact
     # join — its oracle IS contamination's oracle (identical output)
     d["contamination_bitmap"] = d["contamination"]
+    # an independent as-of formulation (correlated max-ts subquery) must
+    # agree with the window join on the leakage audit's exact integers
+    d["asof_leakage_audit"] = f"""
+        WITH t AS ({_TRANSCRIPTS_SQL}),
+        m AS (
+          SELECT q.conv_id, q.ts,
+                 (SELECT max(s.ts) FROM t s
+                  WHERE s.conv_id = q.conv_id
+                    AND s.tool IS NOT NULL
+                    AND s.ts <= q.ts) AS matched_ts
+          FROM t q
+        )
+        SELECT count(*)::BIGINT AS n_rows,
+               count(matched_ts)::BIGINT AS n_matched,
+               coalesce(sum(CASE WHEN matched_ts > ts
+                                 THEN 1 ELSE 0 END), 0)::BIGINT
+                   AS n_violations,
+               max(epoch_us(matched_ts) - epoch_us(ts))::BIGINT
+                   AS max_lead_us
+        FROM m
+    """
     # identical Java∩RE2 regex arithmetic re-run in DuckDB; the injected
     # damage makes both verdict branches non-vacuous
     d["encoding_quality"] = r"""

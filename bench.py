@@ -169,6 +169,7 @@ HEADLINE = [
     "embedding_drift",
     "exact_stratified",
     "encoding_quality",
+    "asof_leakage_audit",
 ]
 
 
