@@ -7,9 +7,12 @@ Prints ONE JSON line:
 Env knobs: ``SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
 ``SPARK_GRAFT_CPUS`` (default 32), ``SPARK_GRAFT_BENCH_REPS`` (default 2:
 the full query list runs REPS interleaved passes and each query reports
-its MIN — see the burst-weather note in main()). Each query is fully
-materialized via the noop sink (count() alone would let Catalyst prune
-the work away).
+its MIN — see the burst-weather note in main()), and
+``SPARK_GRAFT_BENCH_BUDGET`` (default 600 s: extra passes start only
+while under budget, so a burst-slowed run sheds reps instead of
+overrunning an external timeout; pass 1 always completes). Each query is
+fully materialized via the noop sink (count() alone would let Catalyst
+prune the work away).
 
 The two-parallelism scaling run (N vs 4N cores — the sandbox proxy for N vs
 4N executors) lives in tools/bench_scaling.py; its results go to
@@ -243,8 +246,17 @@ def main() -> None:
     # variance is exogenous (host weather), strictly additive, and the
     # quantity being measured — the plan's compute cost — is the floor.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # wall-clock budget for EXTRA passes: pass 1 always completes (there
+    # must be a number for every query), later passes start only while
+    # elapsed time is under budget — so a burst-slowed run degrades to
+    # fewer reps instead of overrunning whatever timeout wraps the bench
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
+    bench_t0 = time.perf_counter()
     per_rep: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(reps):
+    reps_run = 0
+    for rep in range(reps):
+        if rep > 0 and time.perf_counter() - bench_t0 > budget_s:
+            break
         for name in names:
             t0 = time.perf_counter()
             materialize(qs[name](spark, SF_DIR))
@@ -255,6 +267,7 @@ def main() -> None:
             # make every LATER query compete with that resident cache for
             # executor memory
             spark.catalog.clearCache()
+        reps_run += 1
     timings = {n: round(min(ts), 3) for n, ts in per_rep.items()}
     # weather report: median over queries of (max rep / min rep). ~1.0 on
     # a quiet box; well above ~1.5 means bursts hit one of the passes and
@@ -270,7 +283,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "cpus": CPUS,
-        "bench_reps": reps,
+        "bench_reps": reps_run,
         "rep_spread_median": rep_spread,
         # 1.0 = quiet box; >1.1 = co-tenant steal inflated this run
         "parallel_interference": parallel_interference(),
