@@ -2783,6 +2783,37 @@ def q_semantic_segments(spark, sf):
     return semantic_segments(t, threshold=0.1)
 
 
+def q_label_propagation(spark, sf):
+    """Clamped majority-vote label propagation (operators/graph.py
+    propagate_labels) over the same click-chain document graph PageRank
+    uses: trusted language tags on every 7th doc spread 2 rounds to the
+    untagged rest — the semi-supervised trick for pushing scarce
+    quality/license/language verdicts through a similarity or
+    navigation graph. All-integer/string arithmetic with a
+    deterministic modal tie-break, so the oracle unrolls both rounds
+    as stacked CTEs and value-checks every (node, label, is_seed)."""
+    from featurescreening_jl_spark.operators.graph import propagate_labels
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        (F.col("event_id") % 500).alias("src"),
+        F.lead(F.col("event_id") % 500).over(w).alias("dst"),
+    )
+    edges = (
+        seq.where(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .select("src", "dst")
+    )
+    docs = _t(spark, sf, "documents")
+    seeds = docs.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    out = propagate_labels(edges, seeds, rounds=2)
+    return out.select(F.col("id").cast("long").alias("id"), "label", "is_seed")
+
+
 def q_doc_pagerank(spark, sf):
     """Web-graph quality rank over the document navigation graph: each
     user's event stream (ordered by ts, event_id) yields a directed
@@ -3012,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "screen_pipeline": q_screen_pipeline,
         "asof_join_merge": q_asof_join_merge,
         "asof_leakage_audit": q_asof_leakage_audit,
+        "label_propagation": q_label_propagation,
         "transcripts_shape": q_transcripts_shape,
         "transcripts_turn_features": q_transcripts_turn_features,
         "transcripts_conversation_agg": q_transcripts_conversation_agg,
@@ -6348,6 +6380,68 @@ def oracle_sql() -> dict[str, str]:
     # the bitmap prefilter is a superset screen re-verified by the exact
     # join — its oracle IS contamination's oracle (identical output)
     d["contamination_bitmap"] = d["contamination"]
+    # both propagation rounds unrolled as CTEs; modal tie-break replayed
+    # as row_number (count desc, label asc) — all integer/string exact
+    d["label_propagation"] = r"""
+        WITH seq AS (
+          SELECT event_id % 500 AS src,
+                 lead(event_id % 500) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          FROM events
+        ),
+        sym AS (
+          SELECT DISTINCT s, d FROM (
+            SELECT src AS s, dst AS d FROM seq
+            WHERE dst IS NOT NULL AND src <> dst
+            UNION ALL
+            SELECT dst AS s, src AS d FROM seq
+            WHERE dst IS NOT NULL AND src <> dst
+          )
+        ),
+        seeds AS (
+          SELECT doc_id AS id, lang AS label
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        v1 AS (
+          SELECT sym.s, c.label, count(*) AS cnt
+          FROM sym JOIN seeds c ON sym.d = c.id
+          GROUP BY sym.s, c.label
+        ),
+        m1 AS (
+          SELECT s AS id, label FROM (
+            SELECT s, label, row_number() OVER (
+              PARTITION BY s ORDER BY cnt DESC, label ASC) AS rn
+            FROM v1
+          ) WHERE rn = 1
+        ),
+        cur1 AS (
+          SELECT id, label FROM seeds
+          UNION ALL
+          SELECT id, label FROM m1
+          WHERE id NOT IN (SELECT id FROM seeds)
+        ),
+        v2 AS (
+          SELECT sym.s, c.label, count(*) AS cnt
+          FROM sym JOIN cur1 c ON sym.d = c.id
+          GROUP BY sym.s, c.label
+        ),
+        m2 AS (
+          SELECT s AS id, label FROM (
+            SELECT s, label, row_number() OVER (
+              PARTITION BY s ORDER BY cnt DESC, label ASC) AS rn
+            FROM v2
+          ) WHERE rn = 1
+        ),
+        cur2 AS (
+          SELECT id, label FROM seeds
+          UNION ALL
+          SELECT id, label FROM m2
+          WHERE id NOT IN (SELECT id FROM seeds)
+        )
+        SELECT c.id::BIGINT AS id, c.label,
+               (s.id IS NOT NULL) AS is_seed
+        FROM cur2 c LEFT JOIN seeds s ON c.id = s.id
+    """
     # an independent as-of formulation (correlated max-ts subquery) must
     # agree with the window join on the leakage audit's exact integers
     d["asof_leakage_audit"] = f"""

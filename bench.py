@@ -173,6 +173,7 @@ HEADLINE = [
     "exact_stratified",
     "encoding_quality",
     "asof_leakage_audit",
+    "label_propagation",
 ]
 
 

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "pagerank"]
+__all__ = ["connected_components", "pagerank", "propagate_labels"]
 
 # per-round task sizing: ~1M (long, long) edge rows ≈ 16 MB per partition.
 # Iterative CC runs MANY small jobs (one per round); on a tiny pair graph
@@ -364,3 +364,86 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def propagate_labels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Semi-supervised majority-vote label propagation with clamped
+    seeds — spread trusted node labels (quality/spam verdicts, language
+    tags, license classes) through a similarity or navigation graph:
+    each round, every UNSEEDED node takes the modal label of its
+    currently-labeled neighbors (ties: smaller label string — a
+    deterministic mode); seed nodes are FROZEN (ground truth is never
+    outvoted — the standard clamping that keeps LPA from washing out
+    its supervision). Nodes with no labeled neighbor stay unlabeled
+    until a later round reaches them.
+
+    ``edges`` is treated as undirected: symmetrized then deduplicated
+    internally, so parallel and reciprocal directed edges collapse to
+    one adjacency and can never double-count a vote.
+
+    Scale shape: fixed ``rounds`` iterations; each is one
+    edge-keyed join against the current (node, label) table + one
+    (node, label) count aggregate (map-side combined) + one min-of-struct
+    argmax per node — per-round shuffle volume is bounded by the edge
+    count, labels stay node-sized, nothing is collected. The mode's
+    (count desc, label asc) tie-break is a single ``min(struct(-cnt,
+    label))`` hash aggregate, not a window sort. All-integer/string
+    arithmetic — a fixed-round SQL replay matches exactly.
+
+    Output: ``(id_col, label_col, is_seed)`` for every node that has a
+    label after ``rounds`` rounds.
+    """
+    fwd = edges.select(F.col(src_col).alias("__s"), F.col(dst_col).alias("__d"))
+    rev = edges.select(F.col(dst_col).alias("__s"), F.col(src_col).alias("__d"))
+    # distinct AFTER symmetrizing: a reciprocal directed pair (a→b, b→a)
+    # must collapse to one undirected adjacency, or b would vote twice
+    # for a. One bounded one-time shuffle of the edge table.
+    sym = fwd.unionByName(rev).where(F.col("__s") != F.col("__d")).distinct()
+    frozen = seeds.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lab")
+    )
+    cur = frozen
+    for _ in range(rounds):
+        votes = (
+            sym.join(cur, sym["__d"] == cur["__id"])
+            .groupBy("__s", "__lab")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+        )
+        mode = (
+            votes.groupBy("__s")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__cnt")).alias("nc"),
+                        F.col("__lab").alias("lab"),
+                    )
+                ).alias("__m")
+            )
+            .select(
+                F.col("__s").alias("__id"), F.col("__m.lab").alias("__lab")
+            )
+        )
+        cur = frozen.unionByName(
+            mode.join(frozen.select("__id"), "__id", "left_anti")
+        )
+    return (
+        cur.join(
+            frozen.select("__id", F.lit(True).alias("is_seed")),
+            "__id",
+            "left",
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__lab").alias(label_col),
+            F.coalesce("is_seed", F.lit(False)).alias("is_seed"),
+        )
+    )

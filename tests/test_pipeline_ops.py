@@ -877,3 +877,57 @@ class TestLshParams:
             lsh_params(0.0, 128)
         with _pytest.raises(ValueError):
             lsh_params(0.5, 1)
+
+
+class TestPropagateLabels:
+    def _run(self, spark, edges, seeds, rounds=2):
+        from featurescreening_jl_spark.operators.graph import propagate_labels
+
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        s = spark.createDataFrame(seeds, ["id", "label"])
+        return {
+            r["id"]: (r["label"], r["is_seed"])
+            for r in propagate_labels(e, s, rounds=rounds).collect()
+        }
+
+    def test_spreads_through_a_chain(self, spark):
+        # seed at node 0; chain 0-1-2-3: round 1 labels node 1, round 2
+        # labels node 2; node 3 stays unlabeled after 2 rounds
+        got = self._run(
+            spark, [(0, 1), (1, 2), (2, 3)], [(0, "good")], rounds=2
+        )
+        assert got[0] == ("good", True)
+        assert got[1] == ("good", False)
+        assert got[2] == ("good", False)
+        assert 3 not in got
+
+    def test_majority_wins_and_tie_breaks_to_smaller_label(self, spark):
+        # node 9 has neighbors: two 'spam' seeds, one 'ham' seed -> spam;
+        # node 8 has one of each -> tie -> 'ham' (smaller string)
+        edges = [(9, 0), (9, 1), (9, 2), (8, 0), (8, 2)]
+        seeds = [(0, "spam"), (1, "spam"), (2, "ham")]
+        got = self._run(spark, edges, seeds, rounds=1)
+        assert got[9] == ("spam", False)
+        assert got[8] == ("ham", False)
+
+    def test_seeds_are_clamped(self, spark):
+        # seed 0='good' surrounded by three 'bad' seeds: 0 must stay 'good'
+        edges = [(0, 1), (0, 2), (0, 3)]
+        seeds = [(0, "good"), (1, "bad"), (2, "bad"), (3, "bad")]
+        got = self._run(spark, edges, seeds, rounds=3)
+        assert got[0] == ("good", True)
+
+    def test_reciprocal_directed_edges_do_not_double_vote(self, spark):
+        # (a,b) AND (b,a) present: b still counts once for node 5, so the
+        # single 'ham' neighbor out-tie-breaks... construct: node 5 sees
+        # seed 1 ('zz') through a reciprocal pair and seed 2 ('aa') once;
+        # without dedup 'zz' would win 2-1, with dedup it ties 1-1 and
+        # 'aa' (smaller) wins
+        edges = [(5, 1), (1, 5), (5, 2)]
+        seeds = [(1, "zz"), (2, "aa")]
+        got = self._run(spark, edges, seeds, rounds=1)
+        assert got[5] == ("aa", False)
+
+    def test_unlabeled_neighbors_do_not_vote(self, spark):
+        got = self._run(spark, [(0, 1)], [(7, "x")], rounds=2)
+        assert got == {7: ("x", True)}
