@@ -1169,6 +1169,46 @@ def q_dedup_cc(spark, sf):
     return cc.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_cluster_sizes(spark, sf):
+    """Dedup-run report: the duplicate-cluster SIZE HISTOGRAM — (size,
+    n_clusters, n_docs) — the number an operator actually reads after a
+    dedup pass ("how much mass sits in how-big clusters, how much would
+    keep-best remove"). Composes the dedup_cc pair graph + CC, then
+    counts; docs in no pair are size-1 clusters labeled by their own id
+    (safe: CC labels are cluster-min ids, so a non-member's id cannot
+    collide). The oracle extends dedup_cc's recursive-CTE components
+    with the same singleton fill and integer rollups."""
+    from featurescreening_jl_spark.operators.dedup import (
+        ngram_jaccard_pairs_indexed,
+    )
+    from featurescreening_jl_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _t(spark, sf, "documents").where(F.col("doc_id") < 4000)
+    pairs = ngram_jaccard_pairs_indexed(docs, shingle_n=3, threshold=0.3)
+    cc = connected_components(pairs, "id_a", "id_b")
+    labeled = (
+        docs.select("doc_id")
+        .join(cc, docs["doc_id"] == cc["id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return (
+        sizes.groupBy("size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("size").cast("long").alias("n_docs"),
+        )
+        .select(F.col("size").cast("long").alias("size"), "n_clusters", "n_docs")
+    )
+
+
 def q_dedup_cc_star(spark, sf):
     # same clustering task as dedup_cc, run through the alternating
     # large-star/small-star algorithm (O(log n) rounds independent of
@@ -3055,6 +3095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_indexed": q_ngram_jaccard_indexed,
         "simhash_dedup": q_simhash_dedup,
         "dedup_cc": q_dedup_cc,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "dedup_cc_star": q_dedup_cc_star,
         "keep_best": q_keep_best,
         "corpus_prep": q_corpus_prep,
@@ -3612,6 +3653,25 @@ def _oracle_sql_base() -> dict[str, str]:
         # fixpoint terminates)
         "dedup_cc": _CC_ORACLE_PREFIX + """
             SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+        """,
+        # same components + singleton fill, rolled to the size histogram
+        "dedup_cluster_sizes": _CC_ORACLE_PREFIX + """
+            , comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+            ),
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component
+              FROM (SELECT doc_id FROM documents WHERE doc_id < 4000) d
+              LEFT JOIN comp c ON d.doc_id = c.id
+            ),
+            sizes AS (
+              SELECT component, count(*) AS size FROM lab GROUP BY component
+            )
+            SELECT size::BIGINT AS size,
+                   count(*)::BIGINT AS n_clusters,
+                   sum(size)::BIGINT AS n_docs
+            FROM sizes GROUP BY size
         """,
         # cluster-representative selection: same component labels as
         # dedup_cc, then keep the longest doc per cluster (min-id

@@ -174,6 +174,7 @@ HEADLINE = [
     "encoding_quality",
     "asof_leakage_audit",
     "label_propagation",
+    "dedup_cluster_sizes",
 ]
 
 
