@@ -305,6 +305,34 @@ def q_dedup_exact(spark, sf):
     return dedup_exact(docs).select("doc_id", "n_chars")
 
 
+def q_dedup_exact_incremental(spark, sf):
+    """Shard-vs-index exact dedup (operators/dedup.py
+    dedup_exact_incremental) — the daily-crawl ingest shape: history is
+    never re-deduped, only the new shard screens against the index's
+    fingerprint set and its own duplicates. The corpus has no natural
+    exact duplicates, so both drop-reasons are synthesized in-query:
+    every 10th index doc re-arrives in the shard under a new id (must
+    drop — known text) and every 25th shard doc appears twice (min-id
+    representative wins). Expected survivors = exactly the natural
+    shard rows; the oracle replays fingerprinting via normalized-text
+    grouping, the NOT-IN screen, and the min-id pick."""
+    from featurescreening_jl_spark.operators.dedup import (
+        dedup_exact_incremental,
+    )
+
+    docs = _t(spark, sf, "documents")
+    index = docs.where(F.col("doc_id") < 250)
+    shard_nat = docs.where(F.col("doc_id") >= 250)
+    re_arrivals = index.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    intra_dups = shard_nat.where(F.col("doc_id") % 25 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 20000
+    )
+    shard = shard_nat.unionByName(re_arrivals).unionByName(intra_dups)
+    return dedup_exact_incremental(shard, index).select("doc_id", "n_chars")
+
+
 def q_text_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     trimmed = F.trim(F.col("text"))
@@ -3076,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_bucketed": q_asof_join_bucketed,
         "multi_agg_rollup": q_multi_agg_rollup,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
         "text_stats": q_text_stats,
         "lang_distribution": q_lang_distribution,
         "cosine_topk": q_cosine_topk,
@@ -3335,6 +3364,31 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM documents
               GROUP BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
             ) k USING (doc_id)
+        """,
+        # fingerprinting replayed as normalized-text grouping; the NOT-IN
+        # screen and min-id pick mirror the anti-join + min_by exactly
+        "dedup_exact_incremental": """
+            WITH nt AS (
+              SELECT doc_id, n_chars,
+                     lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+              FROM documents
+            ),
+            idx AS (SELECT * FROM nt WHERE doc_id < 250),
+            shard AS (
+              SELECT doc_id, n_chars, t FROM nt WHERE doc_id >= 250
+              UNION ALL
+              SELECT doc_id + 10000, n_chars, t FROM idx
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 20000, n_chars, t FROM nt
+              WHERE doc_id >= 250 AND doc_id % 25 = 0
+            ),
+            keep AS (
+              SELECT min(doc_id) AS doc_id FROM shard
+              WHERE t NOT IN (SELECT t FROM idx)
+              GROUP BY t
+            )
+            SELECT s.doc_id, s.n_chars FROM shard s JOIN keep USING (doc_id)
         """,
         "text_stats": """
             SELECT doc_id,

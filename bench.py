@@ -175,6 +175,7 @@ HEADLINE = [
     "asof_leakage_audit",
     "label_propagation",
     "dedup_cluster_sizes",
+    "dedup_exact_incremental",
 ]
 
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "dedup_exact",
+    "dedup_exact_incremental",
     "hash60_portable",
     "shingles",
     "minhash_signature",
@@ -129,6 +130,40 @@ def dedup_exact(
         .select(id_col)
     )
     return df.join(keep, on=id_col, how="inner")  # AQE broadcasts if small
+
+
+def dedup_exact_incremental(
+    shard: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup of a NEW shard against an accepted-corpus index AND
+    itself — the batch-ingest twin of ``minhash_lsh_pairs_incremental``
+    for exact duplicates (the daily-crawl case: never re-dedup history,
+    only screen the new arrivals): drop shard rows whose normalized-text
+    fingerprint already exists in the index, then keep the min-id
+    representative among the shard's own duplicates.
+
+    Scale: the index collapses MAP-SIDE to its distinct 8-byte
+    fingerprints (in production, persist that fingerprint table once and
+    reuse it shard after shard — this function recomputes it from
+    ``index`` when handed raw text); the shard anti-joins on the
+    fingerprint, then one hash-agg picks representatives. Shuffle volume
+    is bounded by |shard| + |distinct index fingerprints| 8-byte keys —
+    the TEXT of neither side ever crosses the wire.
+    """
+    key = F.xxhash64(_norm(F.col(text_col)) if normalize else F.col(text_col))
+    idx_keys = index.select(key.alias("__k")).distinct()
+    keep = (
+        shard.select(F.col(id_col), key.alias("__k"))
+        .join(idx_keys, on="__k", how="left_anti")
+        .groupBy("__k")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return shard.join(keep, on=id_col, how="inner")
 
 
 def shingles(text, n: int = 3, words: bool = True):

@@ -931,3 +931,64 @@ class TestPropagateLabels:
     def test_unlabeled_neighbors_do_not_vote(self, spark):
         got = self._run(spark, [(0, 1)], [(7, "x")], rounds=2)
         assert got == {7: ("x", True)}
+
+
+class TestDedupExactIncremental:
+    def test_drops_index_matches_and_intra_shard_dups(self, spark):
+        from featurescreening_jl_spark.operators.dedup import (
+            dedup_exact_incremental,
+        )
+
+        index = spark.createDataFrame(
+            [(0, "known doc"), (1, "other known")], ["doc_id", "text"]
+        )
+        shard = spark.createDataFrame(
+            [
+                (10, "fresh one"),
+                (11, "known doc"),        # exists in index -> dropped
+                (12, "fresh two"),
+                (13, "fresh two"),        # intra-shard dup -> 12 kept
+                (14, "KNOWN   doc"),      # normalized match -> dropped
+            ],
+            ["doc_id", "text"],
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup_exact_incremental(shard, index).collect()
+        }
+        assert got == {10, 12}
+
+    def test_normalize_false_is_byte_exact(self, spark):
+        from featurescreening_jl_spark.operators.dedup import (
+            dedup_exact_incremental,
+        )
+
+        index = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+        shard = spark.createDataFrame(
+            [(1, "a  b"), (2, "a b")], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]
+            for r in dedup_exact_incremental(
+                shard, index, normalize=False
+            ).collect()
+        }
+        assert got == {1}  # whitespace difference survives byte-exact mode
+
+    def test_text_never_enters_the_join_keys(self, spark):
+        from featurescreening_jl_spark.operators.dedup import (
+            dedup_exact_incremental,
+        )
+
+        index = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+        shard = spark.createDataFrame([(1, "y")], ["doc_id", "text"])
+        plan = (
+            dedup_exact_incremental(shard, index)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        # both join keys are the 8-byte fingerprint / id — the text
+        # column appears only below the final representative join's
+        # shard-side scan, never as a join key
+        assert "xxhash64" in plan
