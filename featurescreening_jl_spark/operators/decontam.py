@@ -36,7 +36,17 @@ __all__ = [
     "GramBitmap",
     "build_gram_bitmap",
     "bitmap_contains",
+    "bitmap_prefilter",
 ]
+
+# Ceiling for embedding the word array as a generated-SQL literal: 2^22
+# bits = 65,536 int64 words ≈ a ~0.8 MB expression string — comfortably
+# inside what the driver can parse/analyze/codegen per plan. Beyond this
+# the literal is no longer "a broadcast" in any meaningful sense (at
+# 2^30 bits it would be a ~150 MB expression the analyzer chokes on), so
+# bitmap_prefilter switches to a real broadcast: the non-zero words as a
+# word-indexed dimension table joined on shiftright(pos, 6).
+_LITERAL_MAX_LOG2_BITS = 22
 
 
 @dataclass(frozen=True)
@@ -74,7 +84,9 @@ def build_gram_bitmap(
     grams whose strings no longer broadcast — the join must shuffle the
     corpus gram stream, and at 10^12 corpus grams that shuffle IS the
     cost. A 2^30-bit bitmap is 128 MiB regardless of gram-string width,
-    still broadcasts, and drops ~(1 - density) of corpus grams MAP-SIDE
+    still broadcasts (via :func:`bitmap_prefilter`'s join path — a real
+    word-indexed broadcast table, NOT a SQL literal, which is capped at
+    2^22 bits), and drops ~(1 - density) of corpus grams MAP-SIDE
     before the exchange; the exact join then re-verifies survivors, so
     results stay exact (Bloom filters have no false negatives).
 
@@ -120,7 +132,21 @@ def bitmap_contains(gram_col: Column, bm: GramBitmap) -> Column:
     May return true for absent grams (rate ≈ bitmap density), never false
     for present ones. The bit position is bound ONCE as a lambda variable
     (it feeds both the word index and the bit mask — referencing the raw
-    hash expression twice would evaluate xxhash64 twice per row)."""
+    hash expression twice would evaluate xxhash64 twice per row).
+
+    Only valid up to ``log2_bits = 22``: the word array rides the plan as
+    a generated-SQL array literal, which the driver must parse/analyze/
+    codegen — fine at ≤ 65k words (~0.8 MB of expression), fatal at the
+    2^30-bit scale (a ~150 MB expression string is not a broadcast).
+    Larger bitmaps must go through :func:`bitmap_prefilter`, which ships
+    the words as a genuine broadcast dimension table instead."""
+    if bm.log2_bits > _LITERAL_MAX_LOG2_BITS:
+        raise ValueError(
+            f"bitmap_contains embeds the bitmap as a SQL literal and is "
+            f"capped at log2_bits={_LITERAL_MAX_LOG2_BITS} "
+            f"(got {bm.log2_bits}); use bitmap_prefilter(), whose join "
+            f"path handles large bitmaps as a real broadcast"
+        )
     nbits = 1 << bm.log2_bits
     arr = _long_array_literal(bm.words)
     pos = F.pmod(F.xxhash64(gram_col), F.lit(nbits))
@@ -135,6 +161,74 @@ def bitmap_contains(gram_col: Column, bm: GramBitmap) -> Column:
         return word.bitwiseAND(bit) != 0
 
     return F.element_at(F.transform(F.array(pos), test), 1)
+
+
+def bitmap_prefilter(
+    df: DataFrame,
+    gram_col: str,
+    bm: GramBitmap,
+    *,
+    strategy: str | None = None,
+) -> DataFrame:
+    """Keep only rows whose ``gram_col`` MAY be in the bitmap (superset
+    semantics: false positives at ≈ density rate, never false negatives
+    — downstream exact joins re-verify, so composed results are exact).
+
+    Two physically different plans with identical semantics, chosen by
+    bitmap size (``strategy=None``) or forced (``"literal"``/``"join"``):
+
+    - **literal** (≤ 2^22 bits): the word array rides the filter
+      expression itself via :func:`bitmap_contains` — zero extra
+      operators, evaluated inside whole-stage codegen.
+    - **join** (> 2^22 bits): the NON-ZERO words become a
+      ``(word_idx, bits)`` dimension table, broadcast and inner-joined on
+      ``shiftright(pos, 6)``. A gram whose word index misses the table
+      has no bits set → correctly dropped by the inner join; survivors
+      are bit-tested against the joined word. At 2^30 bits the table is
+      ≤ 16.7M rows / ~128 MiB of payload — a genuine Tungsten broadcast,
+      not a 150 MB expression string the driver would have to parse.
+      Built driver-side via Arrow (the words already live on the driver
+      post-fit).
+    """
+    if strategy is None:
+        strategy = (
+            "literal" if bm.log2_bits <= _LITERAL_MAX_LOG2_BITS else "join"
+        )
+    if strategy == "literal":
+        return df.where(bitmap_contains(F.col(gram_col), bm))
+    if strategy != "join":
+        raise ValueError(f"unknown bitmap strategy {strategy!r}")
+
+    import pandas as pd
+
+    nz_idx, nz_bits = [], []
+    for i, w in enumerate(bm.words):
+        if w != 0:
+            nz_idx.append(i)
+            nz_bits.append(w)
+    words_df = df.sparkSession.createDataFrame(
+        pd.DataFrame({"__bm_w": nz_idx, "__bm_bits": nz_bits}),
+        schema="__bm_w long, __bm_bits long",
+    )
+    nbits = 1 << bm.log2_bits
+    # bind the hash once: __bm_p is computed a single time per row, then
+    # feeds both the join key and the bit mask
+    probe = df.withColumn(
+        "__bm_p", F.pmod(F.xxhash64(F.col(gram_col)), F.lit(nbits))
+    )
+    bit = F.call_function(
+        "shiftleft",
+        F.lit(1).cast("long"),
+        F.pmod(F.col("__bm_p"), F.lit(64)).cast("int"),
+    )
+    return (
+        probe.join(
+            F.broadcast(words_df),
+            F.shiftright(F.col("__bm_p"), 6) == F.col("__bm_w"),
+        )
+        .where(F.col("__bm_bits").bitwiseAND(bit) != 0)
+        .drop("__bm_p", "__bm_w", "__bm_bits")
+    )
 
 
 def _exploded_ngrams(
@@ -189,7 +283,7 @@ def contamination_pairs(
         )
     c = _exploded_ngrams(corpus, id_col, text_col, n)
     if prefilter_bitmap is not None:
-        c = c.where(bitmap_contains(F.col("__g"), prefilter_bitmap))
+        c = bitmap_prefilter(c, "__g", prefilter_bitmap)
     b = _exploded_ngrams(benchmark, bench_id_col, bench_text_col, n).select(
         F.col(bench_id_col), F.col("__g").alias("__bg")
     )

@@ -219,6 +219,77 @@ class TestBitmapPrefilter:
         assert as_set(filtered) == as_set(exact)
         assert len(as_set(exact)) > 0  # non-vacuous
 
+    def test_join_strategy_identical_to_literal(self, spark, corpus):
+        # the >2^22-bit regime swaps the SQL-literal word array for a
+        # broadcast word-indexed dimension table; both physical plans
+        # must keep EXACTLY the same rows on the same bitmap
+        from featurescreening_jl_spark.operators.decontam import (
+            _exploded_ngrams,
+            bitmap_prefilter,
+        )
+
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over"), (901, "the lazy dog today")],
+            ["bench_id", "text"],
+        )
+        bm = build_gram_bitmap(bench, n=3, log2_bits=14)
+        grams = _exploded_ngrams(corpus, "doc_id", "text", 3)
+        as_set = lambda df: {  # noqa: E731
+            (r["doc_id"], r["__g"]) for r in df.collect()
+        }
+        lit_rows = as_set(bitmap_prefilter(grams, "__g", bm, strategy="literal"))
+        join_rows = as_set(bitmap_prefilter(grams, "__g", bm, strategy="join"))
+        assert lit_rows == join_rows
+        assert len(lit_rows) > 0  # non-vacuous
+
+    def test_join_strategy_broadcasts_the_word_table(self, spark, corpus):
+        # the join path must be a broadcast hash join probing the corpus
+        # gram stream — never a shuffle of that stream
+        from featurescreening_jl_spark.operators.decontam import (
+            _exploded_ngrams,
+            bitmap_prefilter,
+        )
+
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over")], ["bench_id", "text"]
+        )
+        bm = build_gram_bitmap(bench, n=3, log2_bits=14)
+        grams = _exploded_ngrams(corpus, "doc_id", "text", 3)
+        plan = (
+            bitmap_prefilter(grams, "__g", bm, strategy="join")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_literal_path_capped_at_2pow22(self, spark):
+        # a 2^30-bit bitmap as a SQL literal would be a ~150 MB expression
+        # string — the literal path must refuse, pointing at the join path
+        from featurescreening_jl_spark.operators.decontam import GramBitmap
+
+        big = GramBitmap(words=(0,), log2_bits=30, n=3)
+        with pytest.raises(ValueError, match="bitmap_prefilter"):
+            bitmap_contains(F.col("g"), big)
+
+    def test_auto_strategy_picks_join_above_cap(self, spark, corpus):
+        # auto mode must route an oversized bitmap to the join path (the
+        # fit is at log2_bits=23 so the literal guard would reject it);
+        # no-false-negatives still holds end-to-end
+        from featurescreening_jl_spark.operators.decontam import (
+            _exploded_ngrams,
+            bitmap_prefilter,
+        )
+
+        bench = spark.createDataFrame(
+            [(900, "quick brown fox jumps over")], ["bench_id", "text"]
+        )
+        bm = build_gram_bitmap(bench, n=3, log2_bits=23)
+        grams = _exploded_ngrams(bench, "bench_id", "text", 3)
+        kept = bitmap_prefilter(grams, "__g", bm).count()
+        assert kept == grams.count(), "join path dropped a fitted gram"
+
     def test_gram_length_mismatch_raises(self, spark, corpus):
         bench = spark.createDataFrame(
             [(900, "quick brown fox jumps over")], ["bench_id", "text"]
