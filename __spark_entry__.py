@@ -6580,12 +6580,16 @@ def oracle_sql() -> dict[str, str]:
     # identical Java∩RE2 regex arithmetic re-run in DuckDB; the injected
     # damage makes both verdict branches non-vacuous
     d["encoding_quality"] = r"""
-        WITH injected AS (
+        WITH base AS (
+          -- NULL text behaves as empty (the operator coalesces first)
+          SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ),
+        injected AS (
           SELECT doc_id,
                  CASE WHEN doc_id % 9 = 0
                       THEN text || '���' || chr(1) || chr(2) || chr(11)
                       ELSE text END AS text
-          FROM documents
+          FROM base
         ),
         m AS (
           SELECT doc_id,
@@ -6673,7 +6677,11 @@ def oracle_sql() -> dict[str, str]:
               FROM ra JOIN ca USING (i)),
         agg AS (SELECT sum((a-b)*(a-b)) AS d2, sum(a*b) AS ab,
                        sum(a*a) AS aa, sum(b*b) AS bb,
-                       max(nr) AS n_ref, max(nc) AS n_cur
+                       -- COALESCE so an empty snapshot reports count 0
+                       -- (matching Spark's global-agg count), not NULL —
+                       -- the per-dimension join CTE has zero rows then
+                       coalesce(max(nr), 0) AS n_ref,
+                       coalesce(max(nc), 0) AS n_cur
                 FROM j)
         SELECT round(sqrt(d2), 6) AS l2_shift,
                round(ab/(sqrt(aa)*sqrt(bb)), 6) AS cosine_sim,

@@ -59,14 +59,39 @@ class FeatureFrame:
         # keeps every screening round map-only over the cached partitions
         self._base: DataFrame = df
 
+    # distinct_labels() materializes the class list on the driver; the
+    # class-count contract says that list is tiny (it sizes one-hot
+    # label vectors, per-class counts, the CLI's class report). A label
+    # column that is accidentally an ID would otherwise stream the whole
+    # distinct-key set through the driver — cap it loudly instead, the
+    # same guard bpe.py's driver_threshold puts on its word table.
+    MAX_DISTINCT_LABELS = 10_000
+
     def distinct_labels(self) -> list[str]:
         """Sorted distinct label values (cached — label cardinality is the
         class count, tiny; the scan happens once per base frame, not once
-        per screening round)."""
+        per screening round). Raises if the cardinality exceeds
+        :data:`MAX_DISTINCT_LABELS` — the ``limit(cap + 1)`` bounds the
+        driver transfer BEFORE the check, so a pathological label column
+        (an ID passed as the label) fails fast instead of OOMing the
+        driver."""
         if self._labels_cache is None:
-            self._labels_cache = sorted(
-                r[0] for r in self.df.select(self.label_col).distinct().collect()
+            cap = self.MAX_DISTINCT_LABELS
+            rows = (
+                self.df.select(self.label_col)
+                .distinct()
+                .limit(cap + 1)
+                .collect()
             )
+            if len(rows) > cap:
+                raise ValueError(
+                    f"label column {self.label_col!r} has more than "
+                    f"{cap} distinct values — that is an ID, not a class "
+                    f"label; pass the real label column (or raise "
+                    f"FeatureFrame.MAX_DISTINCT_LABELS if you genuinely "
+                    f"train with this many classes)"
+                )
+            self._labels_cache = sorted(r[0] for r in rows)
         return self._labels_cache
 
     def _child(self, df: DataFrame, names: list[str]) -> "FeatureFrame":

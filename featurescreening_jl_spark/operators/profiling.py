@@ -468,7 +468,9 @@ def embedding_drift(
     core count, and the closing double-precision arithmetic runs on
     exact integers (engine-replayable at ``round_dp``; the 10^12-row
     corpus never shuffles, the drift math is a 1×1 cross join).
-    Empty sides produce NULL metrics (0/0), not an error.
+    Empty sides produce NULL metrics with count 0 (a global count
+    aggregate is 0 on empty input, the sums NULL), not an error — the
+    SQL oracle COALESCEs its per-dimension-join counts to 0 to match.
     """
     from functools import reduce
     from operator import add

@@ -484,9 +484,17 @@ def exact_stratified_sample(
             F.when(cond, n_k) if quota is None else quota.when(cond, n_k)
         )
     quota = F.lit(0) if quota is None else quota.otherwise(0)
-    w = Window.partitionBy(s).orderBy(
-        hash_unit(F.col(key_col), seed), F.col(key_col)
+    # rank by the EXACT 60-bit integer hash, not hash_unit's double
+    # (integer / 2^60 only keeps a 53-bit mantissa — two in-stratum rows
+    # whose hashes differ in the low 7 bits would collapse to the same
+    # double and fall through to the key tie-break, while the SQL oracle
+    # orders by the full integer: a possible membership flip at the quota
+    # boundary, ~N²/2^54 likely but exactly zero when both sides rank by
+    # the same integer). key_col stays as the genuine-collision tie-break.
+    hash_int = hash60_portable(
+        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
     )
+    w = Window.partitionBy(s).orderBy(hash_int, F.col(key_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= quota)

@@ -1083,7 +1083,12 @@ def encoding_quality(
     characters (excluding tab/newline/carriage-return — their presence
     means binary content leaked into the text column), their ratios to
     character length, and a boolean verdict against the caller's
-    thresholds (empty documents pass: no evidence of damage).
+    thresholds (empty documents pass: no evidence of damage). NULL text
+    is coalesced to the empty string first, so it takes the same
+    all-zeros / ``encoding_ok = true`` row as an empty document — never
+    a half-NULL half-0.0 output (a NULL ``n_chars`` would make the
+    ``n_chars > 0`` ratio guards NULL-false while the counts stayed
+    NULL, an internally inconsistent verdict).
 
     Pure ``length(text) - length(regexp_replace(...))`` arithmetic over
     shared Java-regex/RE2 character classes — map-only, zero shuffles,
@@ -1092,7 +1097,7 @@ def encoding_quality(
     Output: ``id_col, n_chars, n_replacement, n_control,
     replacement_ratio, control_ratio, encoding_ok``.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(text)
     n_repl = n_chars - F.length(
         F.regexp_replace(text, "�", "")

@@ -818,6 +818,36 @@ class TestEncodingQuality:
         # 1 bad char in 2001 -> ratio ~0.0005 stays under the 0.001 gate
         assert rows[4]["n_replacement"] == 1 and rows[4]["encoding_ok"]
 
+    def test_null_text_behaves_as_empty(self, spark):
+        # NULL text must take the SAME row as an empty doc — counts 0,
+        # ratios 0.0, encoding_ok true — never a half-NULL output (the
+        # n_chars > 0 guard is NULL-false, which used to leave counts
+        # NULL while the ratios coerced to 0.0)
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        from featurescreening_jl_spark.operators.text_analysis import (
+            encoding_quality,
+        )
+
+        schema = StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+        docs = spark.createDataFrame([(0, None), (1, "")], schema)
+        rows = {r["doc_id"]: r for r in encoding_quality(docs).collect()}
+        assert rows[0].asDict() == {**rows[1].asDict(), "doc_id": 0}
+        assert rows[0]["n_chars"] == 0
+        assert rows[0]["n_replacement"] == 0
+        assert rows[0]["replacement_ratio"] == 0.0
+        assert rows[0]["encoding_ok"]
+
     def test_tab_newline_cr_are_not_control_damage(self, spark):
         from featurescreening_jl_spark.operators.text_analysis import (
             encoding_quality,

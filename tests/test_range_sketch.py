@@ -362,6 +362,23 @@ class TestEmbeddingDrift:
         assert abs(r["l2_shift"] - 500.0) < 1e-9  # 0.5 on the 10^-3 grid
         assert r["n_ref"] == 4 and r["n_cur"] == 9
 
+    def test_empty_side_gives_zero_count_null_metrics(self, spark):
+        # the documented contract (and what the oracle's COALESCE
+        # replays): an empty snapshot reports its COUNT as 0 — not NULL,
+        # which the oracle's per-dimension join CTE would otherwise
+        # produce — while the metrics are NULL (0/0 mean is undefined)
+        from featurescreening_jl_spark.operators.profiling import (
+            embedding_drift,
+        )
+
+        ref = spark.createDataFrame(
+            [(i, [0.1, 0.2]) for i in range(3)], ["vec_id", "embedding"]
+        )
+        cur = ref.where(F.col("vec_id") < 0)  # empty, same schema
+        [r] = embedding_drift(ref, cur, dim=2).collect()
+        assert r["n_ref"] == 3 and r["n_cur"] == 0
+        assert r["l2_shift"] is None and r["cosine_sim"] is None
+
     def test_corpus_never_shuffles(self, spark):
         from featurescreening_jl_spark.operators.profiling import (
             embedding_drift,
