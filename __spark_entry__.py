@@ -1886,16 +1886,35 @@ def q_bpe_vocab(spark, sf):
     )
 
 
+# The frozen BPE vocabulary for the value-oracled encode query: learned
+# ONCE by operators/bpe.learn_bpe at sf0.01 (20 merges, deterministic
+# count-desc/pair-lexicographic tie-breaks). Frozen literals — not a
+# per-run learn — because encoding against a fixed merge table is the
+# production contract (tokenizer trained offline, applied to every new
+# shard) and is deterministic, so a SQL oracle can replay it; the LEARN
+# stays the documented iterative rows-only class (q_bpe_vocab).
+_BPE_FROZEN_MERGES = [
+    ("e", "r"), ("e", "</w>"), ("n", "</w>"), ("er", "</w>"), ("o", "w"),
+    ("ow", "</w>"), ("o", "r"), ("s", "t"), ("h", "</w>"), ("a", "t"),
+    ("l", "u"), ("i", "n"), ("a", "</w>"), ("g", "</w>"), ("y", "</w>"),
+    ("a", "r"), ("p", "ar"), ("t", "</w>"), ("i", "n</w>"), ("j", "o"),
+]
+
+
 def q_bpe_encode(spark, sf):
-    # Arrow BPE encoding with the vocabulary learned from the same
-    # corpus (distinct-word memo per batch). Deterministic end to end;
-    # rows-only driver check (see q_bpe_vocab), semantics pinned against
-    # the pure-Python encoder in tests/test_bpe.py.
-    from featurescreening_jl_spark.operators.bpe import bpe_encode, learn_bpe
+    # Arrow BPE encoding against the FROZEN 20-merge vocabulary above
+    # (distinct-word memo per batch). Value-oracled (round-4 verdict
+    # task 3): the oracle replays merge-rank greedy segmentation per
+    # distinct word as a recursive CTE — one recursion step per merge
+    # application, lowest-rank-then-leftmost pair each step, exactly
+    # bpe_encode_word's loop — then reassembles documents in word order.
+    # Vocabulary LEARNING stays rows-only in q_bpe_vocab; semantics are
+    # additionally pinned against the pure-Python encoder in
+    # tests/test_bpe.py.
+    from featurescreening_jl_spark.operators.bpe import bpe_encode
 
     docs = _t(spark, sf, "documents")
-    merges = learn_bpe(docs, 20)
-    out = bpe_encode(docs, merges)
+    out = bpe_encode(docs, _BPE_FROZEN_MERGES)
     return out.select(
         "doc_id",
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
@@ -2446,17 +2465,54 @@ def q_quality_classifier(spark, sf):
     """Model-based quality filter (operators/quality_filter.py): MLlib
     logistic regression trained to separate reference sources (src0-src4
     here) from the rest over map-side quality features, scoring every
-    document. Iterative LBFGS fit — the documented non-SQL-expressible
-    class, so this entry is rows-only (no oracle_sql); the operator's
-    separation/determinism semantics are pytest-pinned."""
+    document. The iterative LBFGS FIT is the documented
+    non-SQL-expressible half, so this entry is rows-only (no oracle_sql)
+    — the deterministic SCORING half is value-oracled separately as
+    ``quality_classifier_score``. max_iter=25 is a ceiling, not a cost
+    floor: tol=1e-6 stops LBFGS at convergence (the sf0.1 fit converges
+    well under 25; the cap only bounds pathological inputs)."""
     from featurescreening_jl_spark.operators.quality_filter import (
         quality_classifier_scores,
     )
 
     docs = _t(spark, sf, "documents")
     return quality_classifier_scores(
-        docs, [f"src{i}" for i in range(5)]
+        docs, [f"src{i}" for i in range(5)], max_iter=25
     )
+
+
+# The frozen quality model for the value-oracled scoring query: fitted
+# ONCE by operators/quality_filter.fit_quality_classifier at sf0.01
+# (reg_param=0.01, max_iter=50, tol=1e-6, positives src0-src4), rounded
+# to 6dp via QualityModel.rounded(). Frozen literals — not a per-run
+# fit — because the scoring contract is what production ships (a model
+# trained offline, applied to every new shard) and what a SQL oracle
+# can replay value-for-value. Coefficient order is
+# QUALITY_FEATURE_ORDER: n_chars, n_tokens, mean_word_len,
+# stopword_ratio, punct_ratio, upper_ratio.
+_QUALITY_FROZEN_COEFS = (0.000815, -6.7e-05, 0.411035, -0.071476, 0.0, 0.0)
+_QUALITY_FROZEN_INTERCEPT = -3.593395
+
+
+def q_quality_classifier_score(spark, sf):
+    """The deterministic scoring half of the quality classifier
+    (operators/quality_filter.score_quality): closed-form
+    ``sigmoid(intercept + coef·features)`` over the map-side quality
+    features, against the FROZEN model above. Map-only, zero shuffles,
+    engine-replayable — the oracle recomputes the same features and the
+    same fixed-order dot product in SQL (round-4 verdict task 2: this
+    moves the classifier's scoring half out of the rows-only list; only
+    the fit remains iterative)."""
+    from featurescreening_jl_spark.operators.quality_filter import (
+        QualityModel,
+        score_quality,
+    )
+
+    model = QualityModel(
+        coefficients=_QUALITY_FROZEN_COEFS,
+        intercept=_QUALITY_FROZEN_INTERCEPT,
+    )
+    return score_quality(_t(spark, sf, "documents"), model)
 
 
 def q_conv_packing(spark, sf):
@@ -3207,6 +3263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_neardup": q_conv_neardup,
         "snapshot_diff": q_snapshot_diff,
         "quality_classifier": q_quality_classifier,
+        "quality_classifier_score": q_quality_classifier_score,
         "conv_packing": q_conv_packing,
         "loop_detection": q_loop_detection,
         "merge_turns": q_merge_turns,
@@ -4407,6 +4464,52 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(1.0 / (1.0 + exp(-(-1.0 + 6.0 * sr - 8.0 * pr
                                             - 4.0 * ur - 0.15 * mwl
                                             + 0.25 * lt))), 4) AS q_score
+            FROM f
+        """,
+        # scoring half of the quality classifier against the FROZEN
+        # 6dp model (fit stays rows-only — iterative LBFGS). The margin
+        # replays Spark's left-to-right literal dot product exactly:
+        # intercept + c0*n_chars + c1*n_tokens + c2*mwl + c3*sr + c4*pr
+        # + c5*ur, order = QUALITY_FEATURE_ORDER.
+        "quality_classifier_score": r"""
+            WITH q AS (
+              SELECT doc_id,
+                     length(text)::DOUBLE AS n_chars,
+                     (CASE WHEN length(trim(text)) = 0 THEN 0
+                           ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                      END)::DOUBLE AS n_tokens,
+                     (length(text)
+                      - length(regexp_replace(text, '[^\w\s]', '', 'g')))::DOUBLE
+                         AS n_punct,
+                     (length(text)
+                      - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+                         AS n_upper,
+                     len(list_filter(
+                           regexp_split_to_array(lower(trim(text)), '\s+'),
+                           w -> list_contains(
+                                  ['the','a','an','and','or','of','to','in',
+                                   'is','it','for','on','with','as','at','by',
+                                   'that','this'], w)))::DOUBLE AS n_stop
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, n_chars, n_tokens,
+                     n_chars / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                     ELSE 1.0 END) AS mwl,
+                     n_punct / (CASE WHEN n_chars > 0 THEN n_chars
+                                     ELSE 1.0 END) AS pr,
+                     n_upper / (CASE WHEN n_chars > 0 THEN n_chars
+                                     ELSE 1.0 END) AS ur,
+                     n_stop / (CASE WHEN n_tokens > 0 THEN n_tokens
+                                    ELSE 1.0 END) AS sr
+              FROM q
+            )
+            SELECT doc_id,
+                   round(1.0 / (1.0 + exp(-(
+                       -3.593395 + 0.000815 * n_chars
+                       + -0.000067 * n_tokens + 0.411035 * mwl
+                       + -0.071476 * sr + 0.0 * pr + 0.0 * ur))), 4)
+                       AS quality_score
             FROM f
         """,
         "json_facets": """
@@ -5616,8 +5719,76 @@ def _pq_oracle() -> str:
     """
 
 
+def _bpe_encode_oracle(merges) -> str:
+    """Recursive-CTE replay of merge-rank greedy BPE encoding against a
+    frozen merge list. Per distinct word: start from characters +
+    '</w>', and each recursion step applies exactly ONE merge — the
+    lowest-RANK applicable pair, leftmost on rank ties — mirroring
+    bpe_encode_word's loop. Terminal rows (no applicable pair left) are
+    the word's encoding; documents reassemble by word position.
+    '|' is a safe pair-key delimiter: symbols only contain [a-z0-9']
+    and the '</w>' sentinel. NOTE: DuckDB's list_position returns 0
+    (not NULL) for absent elements — the > 0 filters are load-bearing."""
+    pair_list = "[" + ",".join(f"'{l}|{r}'" for l, r in merges) + "]"
+    return f"""
+        WITH RECURSIVE
+        wd AS (
+          SELECT doc_id, r.i AS pos, ws[r.i] AS word
+          FROM (SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9'']+'), w -> w <> '') AS ws
+                FROM documents),
+               unnest(range(1, len(ws)+1)) AS r(i)
+        ),
+        uw AS (SELECT DISTINCT word FROM wd),
+        enc AS (
+          SELECT word,
+                 list_append(list_transform(range(1, length(word)+1),
+                             i -> word[i]), '</w>') AS syms
+          FROM uw
+          UNION ALL
+          SELECT word,
+                 list_slice(syms, 1, best[2]-1)
+                 || [syms[best[2]] || syms[best[2]+1]]
+                 || list_slice(syms, best[2]+2, len(syms)) AS syms
+          FROM (
+            SELECT word, syms,
+                   list_sort(list_filter(
+                     list_transform(range(1, len(syms)),
+                       i -> [list_position({pair_list},
+                                 syms[i] || '|' || syms[i+1]), i]),
+                     x -> x[1] > 0))[1] AS best
+            FROM enc
+          ) WHERE best IS NOT NULL
+        ),
+        final AS (
+          SELECT word, syms FROM enc
+          WHERE len(list_filter(
+                  list_transform(range(1, len(syms)),
+                    i -> list_position({pair_list},
+                             syms[i] || '|' || syms[i+1])),
+                  x -> x > 0)) = 0
+        ),
+        agg AS (
+          SELECT w.doc_id, flatten(list(f.syms ORDER BY w.pos)) AS toks
+          FROM wd w JOIN final f USING (word)
+          GROUP BY w.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(len(toks), 0)::BIGINT AS n_bpe_tokens,
+               coalesce(array_to_string(list_slice(toks, 1, 8), ' '), '')
+                   AS head_tokens
+        FROM documents d LEFT JOIN agg USING (doc_id)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    # frozen-vocab BPE encoding is deterministic — value-oracled via the
+    # recursive-CTE segmentation replay (the merge list literal is built
+    # from the same _BPE_FROZEN_MERGES the query encodes with, so the
+    # two can never drift)
+    d["bpe_encode"] = _bpe_encode_oracle(_BPE_FROZEN_MERGES)
     # the star-algorithm CC query computes the identical clustering —
     # same recursive-CTE oracle, different distributed algorithm
     d["dedup_cc_star"] = d["dedup_cc"]

@@ -176,6 +176,9 @@ HEADLINE = [
     "label_propagation",
     "dedup_cluster_sizes",
     "dedup_exact_incremental",
+    # round 5: the quality classifier's deterministic scoring half
+    # (frozen model, map-only) — the fit half stays in quality_classifier
+    "quality_classifier_score",
 ]
 
 

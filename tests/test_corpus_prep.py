@@ -444,6 +444,49 @@ class TestQualityClassifier:
         with _pytest.raises(ValueError):
             quality_classifier_scores(self._docs(spark), [])
 
+    def test_fit_score_split_matches_composed(self, spark):
+        # fit_quality_classifier + score_quality must reproduce
+        # quality_classifier_scores exactly — the split exists so the
+        # deterministic scoring half can be value-oracled (and frozen
+        # models replayed across sessions) without the iterative fit
+        from featurescreening_jl_spark.operators.quality_filter import (
+            fit_quality_classifier,
+            quality_classifier_scores,
+            score_quality,
+        )
+
+        docs = self._docs(spark)
+        model = fit_quality_classifier(docs, ["wiki"])
+        split = {
+            r["doc_id"]: r["quality_score"]
+            for r in score_quality(docs, model).collect()
+        }
+        composed = {
+            r["doc_id"]: r["quality_score"]
+            for r in quality_classifier_scores(docs, ["wiki"]).collect()
+        }
+        assert max(abs(split[k] - composed[k]) for k in split) <= 1e-3
+
+    def test_frozen_model_rounds_and_rejects_bad_arity(self, spark):
+        import pytest as _pytest
+
+        from featurescreening_jl_spark.operators.quality_filter import (
+            QualityModel,
+            score_quality,
+        )
+
+        m = QualityModel(
+            coefficients=(0.123456789, -0.5, 0.0, 1e-9, 2.0, -3.0),
+            intercept=-1.23456789,
+        )
+        r = m.rounded(4)
+        assert r.coefficients[0] == 0.1235 and r.intercept == -1.2346
+        with _pytest.raises(ValueError, match="coefficients"):
+            score_quality(
+                self._docs(spark),
+                QualityModel(coefficients=(1.0,), intercept=0.0),
+            )
+
 
 class TestLeakageSafeSplit:
     """Near-dup-closure-atomic splitting (dedup.leakage_safe_split)."""

@@ -20,13 +20,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = "/root/testdata/sf0.01"
 
 
-@pytest.mark.slow
-@pytest.mark.spark
-def test_every_query_matches_its_oracle_at_sf001():
-    if not os.path.isdir(SF_DIR):
-        pytest.skip(f"{SF_DIR} not present")
+SF01_DIR = "/root/testdata/sf0.1"
+
+# The float-pow/log/exp/sqrt oracle families: these are where a
+# transcendental-libm or summation-order divergence between Spark and
+# DuckDB would grow with data volume, so sf0.01 agreement alone is the
+# weakest evidence for them. Round 4 hand-checked its new queries at
+# sf0.1; this list makes that continuous (round-4 verdict task 4).
+POW_HEAVY = [
+    "lm_score",            # log-prob sums
+    "perplexity_buckets",  # exp of mean log-prob
+    "quality_score",       # sigmoid (exp)
+    "quality_classifier_score",  # sigmoid over frozen coefficients
+    "dsir_weights",        # log-likelihood ratios
+    "psi_drift",           # ln(actual/expected)
+    "ks_drift",            # cumulative-fraction arithmetic
+    "embedding_drift",     # sqrt + fp-grid sums
+    "feature_corr",        # sqrt of covariance products
+    "chi2_ranking",        # squared-deviation ratios
+    "bm25",                # idf logs + saturation division
+    "tfidf_top_terms",     # idf logs
+    "entropy_features",    # p*log2(p) sums
+    "calibration",         # probability-bucket means
+]
+
+
+def _run_gate(sf_dir: str, names: list[str] | None = None) -> None:
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"), SF_DIR],
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "check_correctness.py"),
+            sf_dir,
+            *(names or []),
+        ],
         cwd=REPO,
         capture_output=True,
         text=True,
@@ -34,3 +60,19 @@ def test_every_query_matches_its_oracle_at_sf001():
     )
     tail = "\n".join(proc.stdout.splitlines()[-80:])
     assert proc.returncode == 0, f"oracle gate failed:\n{tail}\n{proc.stderr[-2000:]}"
+
+
+@pytest.mark.slow
+@pytest.mark.spark
+def test_every_query_matches_its_oracle_at_sf001():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} not present")
+    _run_gate(SF_DIR)
+
+
+@pytest.mark.slow
+@pytest.mark.spark
+def test_pow_heavy_oracles_match_at_sf01():
+    if not os.path.isdir(SF01_DIR):
+        pytest.skip(f"{SF01_DIR} not present")
+    _run_gate(SF01_DIR, POW_HEAVY)
