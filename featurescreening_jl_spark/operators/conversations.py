@@ -747,6 +747,7 @@ def context_budget_features(
     conv_col: str = "conv_id",
     order_col: str = "turn_idx",
     text_col: str = "text",
+    chunk_turns: int | None = None,
 ) -> DataFrame:
     """Per-turn context-window occupancy: for every turn, how many
     trailing turns (including itself) fit inside a ``budget_tokens``
@@ -775,44 +776,140 @@ def context_budget_features(
     in-partition re-sort is a no-op pass over already-ordered runs.
     Zero joins, zero Python, rows never widen beyond 4 numeric columns.
 
+    Mega-conversation escape hatch: one conversation = one task by
+    construction, which is correct and streaming (measured 4.7 s for a
+    10^6-turn conversation at local[8]; the window specs are all
+    running/bounded so memory stays O(budget)) but serializes on one
+    core as the conversation grows. ``chunk_turns`` (the conv-keyed
+    twin of the as-of join's salted-bucket path) splits each
+    conversation into ``turn_idx``-range chunks processed in PARALLEL
+    tasks, exactly reproducing the single-task result: the running sum
+    goes two-phase (per-chunk partials + an exclusive prefix over the
+    tiny per-chunk table), and the budget window is covered by GHOST
+    rows — every turn costs ≥ 1 token, so the ``[cum−B, cum]`` RANGE
+    frame spans at most ``budget_tokens`` rows back, and duplicating
+    the last ``budget_tokens`` rows of the previous chunk into each
+    chunk makes every frame complete (ghosts are dropped from the
+    output). Requires ``chunk_turns >= budget_tokens`` (so one
+    previous chunk always covers the lookback) and DENSE 0-based
+    ``order_col`` numbering per conversation (the transcripts
+    ``turn_idx`` contract) — sparse numbering would thin the ghost
+    overlap below the frame span.
+
     Output: ``conv_col, order_col, turn_tokens, cum_tokens, ctx_turns,
     ctx_tokens``.
     """
     tok = F.greatest(token_count(F.col(text_col)), F.lit(1))
-    wcum = (
-        Window.partitionBy(conv_col)
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole_prefix = (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+
+    def budget_cols(w_budget):
+        return [
+            (
+                F.count(F.lit(1)).over(w_budget)
+                - 1
+                + whole_prefix.cast("long")
+            )
+            .cast("int")
+            .alias("ctx_turns"),
+            (
+                F.col("cum_tokens")
+                - F.when(whole_prefix, F.lit(0)).otherwise(
+                    F.min("cum_tokens").over(w_budget)
+                )
+            ).alias("ctx_tokens"),
+        ]
+
+    if chunk_turns is None:
+        wcum = (
+            Window.partitionBy(conv_col)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = df.select(
+            F.col(conv_col),
+            F.col(order_col),
+            tok.cast("long").alias("turn_tokens"),
+        ).withColumn("cum_tokens", F.sum("turn_tokens").over(wcum))
+        wb = (
+            Window.partitionBy(conv_col)
+            .orderBy("cum_tokens")
+            .rangeBetween(-int(budget_tokens), 0)
+        )
+        return cum.select(
+            conv_col, order_col, "turn_tokens", "cum_tokens",
+            *budget_cols(wb),
+        )
+
+    if chunk_turns < budget_tokens:
+        raise ValueError(
+            f"chunk_turns={chunk_turns} must be >= budget_tokens="
+            f"{budget_tokens}: the ghost overlap is one chunk deep, and "
+            f"the budget frame can span up to budget_tokens rows back"
+        )
+    ck = (F.col(order_col).cast("long") / F.lit(int(chunk_turns))).cast(
+        "long"
     )
-    cum = df.select(
+    base = df.select(
         F.col(conv_col),
         F.col(order_col),
         tok.cast("long").alias("turn_tokens"),
-    ).withColumn("cum_tokens", F.sum("turn_tokens").over(wcum))
-    wb = (
+        ck.alias("__ck"),
+    )
+    # phase 1: local running sum within (conv, chunk) — parallel tasks
+    wloc = (
+        Window.partitionBy(conv_col, "__ck")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__lcum", F.sum("turn_tokens").over(wloc))
+    # phase 2: exclusive prefix of per-chunk totals over the TINY
+    # per-chunk table (|convs| × |chunks| rows), joined back — the
+    # global_rank offset pattern; AQE broadcasts the offset side
+    wch = (
         Window.partitionBy(conv_col)
+        .orderBy("__ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy(conv_col, "__ck")
+        .agg(F.sum("turn_tokens").alias("__csum"))
+        .select(
+            conv_col,
+            "__ck",
+            F.coalesce(F.sum("__csum").over(wch), F.lit(0)).alias("__off"),
+        )
+    )
+    cum = local.join(offsets, [conv_col, "__ck"]).select(
+        conv_col,
+        F.col(order_col),
+        "turn_tokens",
+        (F.col("__lcum") + F.col("__off")).alias("cum_tokens"),
+        "__ck",
+        (F.col(order_col).cast("long") % F.lit(int(chunk_turns))).alias(
+            "__pos"
+        ),
+    )
+    # ghost the last budget_tokens rows of each chunk into the NEXT
+    # chunk (frame coverage), then window per (conv, chunk) and keep
+    # only the real rows
+    ghosts = (
+        cum.where(F.col("__pos") >= F.lit(int(chunk_turns - budget_tokens)))
+        .withColumn("__ck", F.col("__ck") + 1)
+        .withColumn("__ghost", F.lit(True))
+    )
+    both = cum.withColumn("__ghost", F.lit(False)).unionByName(ghosts)
+    wb = (
+        Window.partitionBy(conv_col, "__ck")
         .orderBy("cum_tokens")
         .rangeBetween(-int(budget_tokens), 0)
     )
-    whole_prefix = (F.col("cum_tokens") <= F.lit(int(budget_tokens)))
-    return cum.select(
-        conv_col,
-        order_col,
-        "turn_tokens",
-        "cum_tokens",
-        (
-            F.count(F.lit(1)).over(wb)
-            - 1
-            + whole_prefix.cast("long")
+    return (
+        both.select(
+            conv_col, order_col, "turn_tokens", "cum_tokens", "__ghost",
+            *budget_cols(wb),
         )
-        .cast("int")
-        .alias("ctx_turns"),
-        (
-            F.col("cum_tokens")
-            - F.when(whole_prefix, F.lit(0)).otherwise(
-                F.min("cum_tokens").over(wb)
-            )
-        ).alias("ctx_tokens"),
+        .where(~F.col("__ghost"))
+        .drop("__ghost")
     )
 
 

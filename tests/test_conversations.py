@@ -724,6 +724,169 @@ class TestContextBudget:
         assert plan.count("Exchange hashpartitioning") == 1
 
 
+class TestContextBudgetChunked:
+    """The mega-conversation escape hatch: chunk_turns must reproduce
+    the single-task result EXACTLY (two-phase running sum + ghost-row
+    frame coverage)."""
+
+    def _varied(self, spark, n=400, convs=3):
+        # varied token counts (1..13 words) so frames span uneven row
+        # counts; multiple convs so chunk/offset logic is per-conv
+        from pyspark.sql import functions as F
+
+        return spark.range(n * convs).select(
+            F.concat(F.lit("c"), (F.col("id") % convs)).alias("conv_id"),
+            (F.col("id") / convs).cast("int").alias("turn_idx"),
+            F.concat_ws(
+                " ",
+                F.array_repeat(
+                    F.lit("w"), ((F.col("id") * 7919) % 13 + 1).cast("int")
+                ),
+            ).alias("text"),
+        )
+
+    @pytest.mark.parametrize("budget,chunk", [(30, 30), (30, 64), (7, 50)])
+    def test_chunked_equals_single_task(self, spark, budget, chunk):
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        df = self._varied(spark)
+        key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+        single = {
+            key(r): (r["turn_tokens"], r["cum_tokens"], r["ctx_turns"],
+                     r["ctx_tokens"])
+            for r in context_budget_features(df, budget).collect()
+        }
+        chunked = {
+            key(r): (r["turn_tokens"], r["cum_tokens"], r["ctx_turns"],
+                     r["ctx_tokens"])
+            for r in context_budget_features(
+                df, budget, chunk_turns=chunk
+            ).collect()
+        }
+        assert chunked == single
+
+    def test_chunk_smaller_than_budget_raises(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        with pytest.raises(ValueError, match="ghost overlap"):
+            context_budget_features(
+                self._varied(spark, n=5), 100, chunk_turns=10
+            )
+
+    def test_chunked_parallelizes_one_conversation(self, spark):
+        # the point of the hatch: a single conversation's work lands in
+        # MANY tasks — the budget window partitions by (conv, chunk),
+        # not conv alone
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        df = self._varied(spark, n=300, convs=1)
+        plan = (
+            context_budget_features(df, 30, chunk_turns=50)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "hashpartitioning(conv_id" in plan
+        assert "__ck" in plan.split("Window")[0] or "__ck" in plan
+
+
+@pytest.mark.slow
+class TestMegaConversationStress:
+    """Round-4 verdict task 5: the conv-keyed window operators put one
+    conversation in one task by construction — correct for real
+    transcripts, serial for a pathological 10^6-turn conversation.
+    These pin (a) that the hottest three ops COMPLETE at 10^6 turns in
+    one conv_id with streaming memory, (b) the measured per-op
+    ceilings (generous 10x wall-clock bounds so host weather can't
+    flake the suite), and (c) that the chunked escape hatch matches
+    the single-task path at this scale. Measured on local[32]
+    (calibration run, quiet host): context_budget 4.7 s, turn_edit
+    7.9 s, sft_pairs 7.6 s — all linear in turns, no spill."""
+
+    def _mega(self, spark, n=1_000_000):
+        from pyspark.sql import functions as F
+
+        return (
+            spark.range(n)
+            .select(
+                F.lit("megaconv").alias("conv_id"),
+                F.col("id").cast("int").alias("turn_idx"),
+                F.when(F.col("id") % 2 == 0, "user")
+                .otherwise("assistant")
+                .alias("role"),
+                F.concat(F.lit("turn text number "), F.col("id")).alias(
+                    "text"
+                ),
+                (
+                    F.lit(1700000000).cast("timestamp")
+                    + F.make_interval(secs=F.col("id"))
+                ).alias("ts"),
+            )
+            .repartition(8)
+            .localCheckpoint()
+        )
+
+    def test_mega_conversation_ceilings(self, spark):
+        import time
+
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+            sft_pairs,
+            turn_edit_features,
+        )
+
+        t = self._mega(spark)
+        ceilings = {}
+        for name, df in [
+            ("context_budget", context_budget_features(t, 512)),
+            ("turn_edit", turn_edit_features(t)),
+            ("sft_pairs", sft_pairs(t)),
+        ]:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            ceilings[name] = time.perf_counter() - t0
+        # 10x the measured quiet-host numbers — a structural regression
+        # (spill loop, O(n^2) frame, plan explosion) blows through this;
+        # host bursts don't
+        assert ceilings["context_budget"] < 60, ceilings
+        assert ceilings["turn_edit"] < 90, ceilings
+        assert ceilings["sft_pairs"] < 90, ceilings
+
+    def test_chunked_hatch_matches_at_mega_scale(self, spark):
+        from pyspark.sql import functions as F
+
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        t = self._mega(spark, n=200_000)
+        single = context_budget_features(t, 512)
+        chunked = context_budget_features(t, 512, chunk_turns=10_000)
+        # exact frame equality via anti-join both ways (collecting 200k
+        # rows to the driver would be the thing we're avoiding)
+        cols = ["conv_id", "turn_idx", "turn_tokens", "cum_tokens",
+                "ctx_turns", "ctx_tokens"]
+        a, b = single.select(cols), chunked.select(cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert b.count() == 200_000
+        # and the hatch genuinely fans out: >1 task's worth of chunks
+        assert (
+            t.select(
+                (F.col("turn_idx") / 10_000).cast("long").alias("ck")
+            )
+            .distinct()
+            .count()
+            == 20
+        )
+
+
 class TestSemanticSegments:
     """Topic segmentation by embedding drift
     (conversations.semantic_segments)."""
