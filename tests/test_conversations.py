@@ -777,6 +777,45 @@ class TestContextBudgetChunked:
                 self._varied(spark, n=5), 100, chunk_turns=10
             )
 
+    @pytest.mark.parametrize("chunk", [8, 25, 100])
+    def test_sft_pairs_chunked_equals_single_task(self, spark, chunk):
+        # same hatch, row-bounded frame: the last max_context_turns rows
+        # of each chunk ghost into the next; result must be identical
+        # including the rendered context strings
+        from pyspark.sql import functions as F
+
+        from featurescreening_jl_spark.operators.conversations import (
+            sft_pairs,
+        )
+
+        df = self._varied(spark).withColumn(
+            "role",
+            F.when(F.col("turn_idx") % 3 == 1, "assistant").otherwise(
+                "user"
+            ),
+        )
+        key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+        single = {
+            key(r): (r["context"], r["target"], r["n_context_turns"])
+            for r in sft_pairs(df, max_context_chars=120).collect()
+        }
+        chunked = {
+            key(r): (r["context"], r["target"], r["n_context_turns"])
+            for r in sft_pairs(
+                df, max_context_chars=120, chunk_turns=chunk
+            ).collect()
+        }
+        assert chunked == single
+        assert len(single) > 50  # non-vacuous
+
+    def test_sft_pairs_chunk_smaller_than_context_raises(self, spark):
+        from featurescreening_jl_spark.operators.conversations import (
+            sft_pairs,
+        )
+
+        with pytest.raises(ValueError, match="ghost overlap"):
+            sft_pairs(self._varied(spark, n=5), chunk_turns=4)
+
     def test_chunked_parallelizes_one_conversation(self, spark):
         # the point of the hatch: a single conversation's work lands in
         # MANY tasks — the budget window partitions by (conv, chunk),
