@@ -568,6 +568,7 @@ def turn_edit_features(
     text_col: str = "text",
     order_col: str = "turn_idx",
     max_chars: int = 2000,
+    chunk_turns: int | None = None,
 ) -> DataFrame:
     """Per-turn self-repetition features: Levenshtein distance and
     normalized similarity between each turn and the PREVIOUS turn of
@@ -589,38 +590,101 @@ def turn_edit_features(
       a ``when``) — the operator rides the module's shared conv-keyed
       exchange instead of introducing a second shuffle key.
 
-    Mega-conversation note: one conversation = one task, measured
-    7.9 s at 10^6 turns (linear, O(1) window memory; per-row cost is
-    the capped Levenshtein, which dominates). Unlike
-    :func:`context_budget_features` / :func:`sft_pairs`, whose
-    lookback is bounded in ROWS and therefore chunkable with a
-    fixed-depth ghost overlap, this op's lag-1-per-role can reach
-    arbitrarily far back (a role absent for a million turns), so the
-    chunked variant needs a carry: per-(conv, chunk, role) last texts
-    form a tiny side table, a lag over it per (conv, role) yields each
-    chunk's incoming predecessor, broadcast-joined to the first
-    role-row of every chunk. Implement on demand if a conversation
-    ever outgrows the measured single-task ceiling.
+    Mega-conversation escape hatch (``chunk_turns``): one conversation
+    = one task, measured 7.9 s at 10^6 turns (linear, O(1) window
+    memory; per-row cost is the capped Levenshtein, which dominates).
+    Unlike :func:`context_budget_features` / :func:`sft_pairs`, whose
+    lookback is bounded in ROWS and chunkable with a fixed-depth ghost
+    overlap, this op's lag-1-per-role can reach arbitrarily far back
+    (a role absent for a million turns), so the chunked variant uses a
+    CARRY instead of ghosts: the in-chunk lag covers every row except
+    each (conv, chunk, role)'s first; a tiny per-(conv, chunk, role)
+    last-text table, lagged per (conv, role) over chunk order, yields
+    each chunk's incoming predecessor (the nearest EARLIER chunk
+    containing that role — chunks where it is absent simply have no
+    row to lag over), broadcast-joined back to exactly those first
+    rows. Requires dense 0-based ``order_col`` numbering per
+    conversation; exact equality with the single-task path is pinned
+    in tests.
 
     Output: ``by``, ``order_col``, ``role_col``, ``prev_`` distance
     columns — ``edit_dist`` (NULL for a role's first turn),
     ``edit_sim`` = ``1 - dist / max(len_a, len_b, 1)`` (6 dp).
     """
-    ow = Window.partitionBy(by).orderBy(
-        F.col(role_col), *[F.col(c) for c in order]
-    )
     cur = F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, max_chars)
-    prev = F.when(
-        F.lag(role_col).over(ow) == F.col(role_col),
-        F.lag(cur).over(ow),
-    )
-    base = df.select(
-        by,
-        F.col(order_col),
-        F.col(role_col),
-        cur.alias("__cur"),
-        prev.alias("__prev"),
-    )
+    if chunk_turns is None:
+        ow = Window.partitionBy(by).orderBy(
+            F.col(role_col), *[F.col(c) for c in order]
+        )
+        prev = F.when(
+            F.lag(role_col).over(ow) == F.col(role_col),
+            F.lag(cur).over(ow),
+        )
+        base = df.select(
+            by,
+            F.col(order_col),
+            F.col(role_col),
+            cur.alias("__cur"),
+            prev.alias("__prev"),
+        )
+    else:
+        ck = (
+            F.col(order_col).cast("long") / F.lit(int(chunk_turns))
+        ).cast("long")
+        pre = df.select(
+            by,
+            F.col(order_col),
+            F.col(role_col),
+            cur.alias("__cur"),
+            ck.alias("__ck"),
+            *[F.col(c) for c in order if c != order_col],
+        )
+        w_in = Window.partitionBy(by, "__ck").orderBy(
+            F.col(role_col), *[F.col(c) for c in order]
+        )
+        lag_role = F.lag(role_col).over(w_in)
+        main = pre.select(
+            by,
+            F.col(order_col),
+            F.col(role_col),
+            "__cur",
+            "__ck",
+            F.when(lag_role == F.col(role_col), F.lag("__cur").over(w_in))
+            .alias("__prev_in"),
+            (lag_role.isNull() | (lag_role != F.col(role_col))).alias(
+                "__first"
+            ),
+            *[F.col(c) for c in order if c != order_col],
+        )
+        # tiny carry table: |convs| x |chunks| x |roles| rows
+        lasts = main.groupBy(by, "__ck", role_col).agg(
+            F.max_by(
+                "__cur", F.struct(*[F.col(c) for c in order])
+            ).alias("__last")
+        )
+        w_carry = Window.partitionBy(by, role_col).orderBy("__ck")
+        incoming = lasts.select(
+            by,
+            "__ck",
+            F.col(role_col),
+            F.lag("__last").over(w_carry).alias("__in"),
+        )
+        # broadcast is right-sized by construction: the hatch targets
+        # pathological conversations, and the carry table holds one
+        # (≤ max_chars) text per (conv, chunk, role) — 10^6 turns at
+        # 50k-turn chunks is 60 rows
+        base = (
+            main.join(F.broadcast(incoming), [by, "__ck", role_col])
+            .select(
+                by,
+                F.col(order_col),
+                F.col(role_col),
+                "__cur",
+                F.when(F.col("__first"), F.col("__in"))
+                .otherwise(F.col("__prev_in"))
+                .alias("__prev"),
+            )
+        )
     dist = F.levenshtein(F.col("__cur"), F.col("__prev"))
     denom = F.greatest(
         F.length("__cur"), F.length("__prev"), F.lit(1)

@@ -816,6 +816,46 @@ class TestContextBudgetChunked:
         with pytest.raises(ValueError, match="ghost overlap"):
             sft_pairs(self._varied(spark, n=5), chunk_turns=4)
 
+    @pytest.mark.parametrize("chunk", [7, 40, 500])
+    def test_turn_edit_chunked_equals_single_task(self, spark, chunk):
+        # the carry variant: rare roles (tool appears every 17 turns,
+        # and only in some chunks at chunk=7/40) force the cross-chunk
+        # carry to skip role-less chunks; result must be identical,
+        # including NULL edit_dist for each role's globally-first turn
+        from pyspark.sql import functions as F
+
+        from featurescreening_jl_spark.operators.conversations import (
+            turn_edit_features,
+        )
+
+        df = self._varied(spark, n=300).select(
+            "conv_id",
+            "turn_idx",
+            F.when(F.col("turn_idx") % 17 == 3, "tool")
+            .when(F.col("turn_idx") % 2 == 0, "user")
+            .otherwise("assistant")
+            .alias("role"),
+            "text",
+            (
+                F.lit(1700000000).cast("timestamp")
+                + F.make_interval(secs=F.col("turn_idx"))
+            ).alias("ts"),
+        )
+        key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+        single = {
+            key(r): (r["role"], r["edit_dist"], r["edit_sim"])
+            for r in turn_edit_features(df).collect()
+        }
+        chunked = {
+            key(r): (r["role"], r["edit_dist"], r["edit_sim"])
+            for r in turn_edit_features(df, chunk_turns=chunk).collect()
+        }
+        assert chunked == single
+        # non-vacuous: NULL firsts exist and real distances exist
+        dists = [v[1] for v in single.values()]
+        assert any(d is None for d in dists)
+        assert any(d is not None and d > 0 for d in dists)
+
     def test_chunked_parallelizes_one_conversation(self, spark):
         # the point of the hatch: a single conversation's work lands in
         # MANY tasks — the budget window partitions by (conv, chunk),
