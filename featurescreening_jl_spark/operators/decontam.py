@@ -100,6 +100,9 @@ def build_gram_bitmap(
         F.explode_outer(shingles(F.col(text_col), n=n)).alias("__g")
     ).where(F.col("__g").isNotNull() & (F.length("__g") > 0))
     pos = F.pmod(F.xxhash64(F.col("__g")), F.lit(nbits))
+    # toPandas (Arrow batches + a numpy scatter), not collect(): at the
+    # 2^30-bit regime the non-zero word table is up to 16.7M rows, and
+    # row-object materialization would dominate the fit
     packed = (
         g.select(pos.alias("__p"))
         .select(
@@ -112,12 +115,15 @@ def build_gram_bitmap(
         )
         .groupBy("__w")
         .agg(F.bit_or("__b").alias("__bits"))
-        .collect()
+        .toPandas()
     )
-    words = [0] * (nbits >> 6)
-    for r in packed:
-        words[r["__w"]] = r["__bits"]
-    return GramBitmap(words=tuple(words), log2_bits=log2_bits, n=n)
+    import numpy as np
+
+    words = np.zeros(nbits >> 6, dtype=np.int64)
+    words[packed["__w"].to_numpy()] = packed["__bits"].to_numpy()
+    return GramBitmap(
+        words=tuple(int(w) for w in words), log2_bits=log2_bits, n=n
+    )
 
 
 def _long_array_literal(values) -> Column:
