@@ -6751,16 +6751,19 @@ def oracle_sql() -> dict[str, str]:
     # identical Java∩RE2 regex arithmetic re-run in DuckDB; the injected
     # damage makes both verdict branches non-vacuous
     d["encoding_quality"] = r"""
-        WITH base AS (
-          -- NULL text behaves as empty (the operator coalesces first)
-          SELECT doc_id, coalesce(text, '') AS text FROM documents
-        ),
-        injected AS (
+        WITH injected AS (
+          -- inject BEFORE coalescing, mirroring the Spark query: its
+          -- F.concat(NULL, markers) is NULL (as NULL || x is here), and
+          -- only then does the operator coalesce NULL text to '' — so a
+          -- NULL-text doc passes clean even on an injected doc_id
           SELECT doc_id,
                  CASE WHEN doc_id % 9 = 0
                       THEN text || '���' || chr(1) || chr(2) || chr(11)
                       ELSE text END AS text
-          FROM base
+          FROM documents
+        ),
+        coalesced AS (
+          SELECT doc_id, coalesce(text, '') AS text FROM injected
         ),
         m AS (
           SELECT doc_id,
@@ -6769,7 +6772,7 @@ def oracle_sql() -> dict[str, str]:
                      AS n_repl,
                  length(text) - length(regexp_replace(text,
                      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_ctrl
-          FROM injected
+          FROM coalesced
         )
         SELECT doc_id,
                n_chars::BIGINT AS n_chars,

@@ -47,6 +47,105 @@ __all__ = [
 ]
 
 
+def _chunked_prefix_with_ghosts(
+    df: DataFrame,
+    *,
+    by: str,
+    order_col: str,
+    value_col: str,
+    chunk_turns: int,
+    overlap_rows: int,
+    what: str,
+) -> DataFrame:
+    """Shared machinery of the mega-conversation escape hatches
+    (:func:`context_budget_features`, :func:`sft_pairs`): split each
+    conversation into ``order_col``-range chunks, compute the GLOBAL
+    inclusive running sum of ``value_col`` two-phase (per-chunk local
+    sums + an exclusive prefix over the tiny per-chunk table — the
+    global_rank offset pattern), and duplicate the last
+    ``overlap_rows`` rows of every chunk into the next as GHOSTS so
+    row-bounded lookback frames stay complete across the cut. Returns
+    ``df``'s columns plus ``__ck`` (chunk id), ``__cum`` (global
+    running sum), ``__ghost`` (drop these from final output).
+
+    The dense-0-based-``order_col`` precondition is VALIDATED inside
+    the plan, not just documented: the per-chunk aggregate (already
+    required for the offsets) also carries (count, min pos, max pos),
+    and an ``assert_true`` on the offset column fails the job loudly if
+    any chunk has in-chunk gaps, a shifted start, or a short non-final
+    chunk — sparse numbering would otherwise thin the ghost overlap
+    below the frame span and silently corrupt results.
+    """
+    if overlap_rows > chunk_turns:
+        raise ValueError(
+            f"{what}: chunk_turns={chunk_turns} must be >= the frame "
+            f"depth ({overlap_rows}): the ghost overlap is one chunk "
+            f"deep"
+        )
+    ck = (F.col(order_col).cast("long") / F.lit(int(chunk_turns))).cast(
+        "long"
+    )
+    pos = F.col(order_col).cast("long") % F.lit(int(chunk_turns))
+    base = df.withColumn("__ck", ck).withColumn("__pos", pos)
+    wloc = (
+        Window.partitionBy(by, "__ck")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("__lsum", F.sum(value_col).over(wloc))
+    wch = (
+        Window.partitionBy(by)
+        .orderBy("__ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_last = Window.partitionBy(by)
+    per_chunk = local.groupBy(by, "__ck").agg(
+        F.sum(value_col).alias("__csum"),
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min("__pos").alias("__pmin"),
+        F.max("__pos").alias("__pmax"),
+    )
+    dense_ok = (
+        (F.col("__pmin") == 0)
+        & (F.col("__cnt") == F.col("__pmax") - F.col("__pmin") + 1)
+        & (
+            (F.col("__ck") == F.max("__ck").over(w_last))
+            | (F.col("__pmax") == F.lit(int(chunk_turns - 1)))
+        )
+    )
+    offsets = per_chunk.select(
+        by,
+        "__ck",
+        # assert_true returns NULL when the predicate holds and raises
+        # at execution otherwise; folding it into the offset keeps the
+        # check un-prunable without an extra action
+        F.when(
+            F.assert_true(
+                dense_ok,
+                f"{what}: chunk_turns requires dense 0-based "
+                f"{order_col} numbering per conversation (found an "
+                f"in-chunk gap, shifted start, or short non-final "
+                f"chunk) — the ghost overlap would under-cover the "
+                f"lookback frame",
+            ).isNull(),
+            F.coalesce(F.sum("__csum").over(wch), F.lit(0)),
+        ).alias("__off"),
+    )
+    cum = local.join(offsets, [by, "__ck"]).withColumn(
+        "__cum", F.col("__lsum") + F.col("__off")
+    )
+    ghosts = (
+        cum.where(F.col("__pos") >= F.lit(int(chunk_turns - overlap_rows)))
+        .withColumn("__ck", F.col("__ck") + 1)
+        .withColumn("__ghost", F.lit(True))
+    )
+    return (
+        cum.withColumn("__ghost", F.lit(False))
+        .unionByName(ghosts)
+        .drop("__pos", "__lsum", "__off")
+    )
+
+
 def sft_pairs(
     df: DataFrame,
     *,
@@ -116,71 +215,29 @@ def sft_pairs(
         )
         w_ctx = w_order
     else:
-        if chunk_turns < max_context_turns:
-            raise ValueError(
-                f"chunk_turns={chunk_turns} must be >= max_context_turns="
-                f"{max_context_turns}: the ghost overlap is one chunk "
-                f"deep, and the context frame looks back that many rows"
-            )
-        ck = (
-            F.col(order_col).cast("long") / F.lit(int(chunk_turns))
-        ).cast("long")
-        local_base = df.select(
+        work = df.select(
             F.col(by),
             F.col(order_col),
             F.col(role_col),
             F.coalesce(F.col(text_col), F.lit("")).alias("__t"),
             contrib.cast("long").alias("__c"),
-            ck.alias("__ck"),
-            (
-                F.col(order_col).cast("long") % F.lit(int(chunk_turns))
-            ).alias("__pos"),
         )
-        wloc = (
-            Window.partitionBy(by, "__ck")
-            .orderBy(order_col)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        local = local_base.withColumn("__lsum", F.sum("__c").over(wloc))
-        wch = (
-            Window.partitionBy(by)
-            .orderBy("__ck")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        offsets = (
-            local.groupBy(by, "__ck")
-            .agg(F.sum("__c").alias("__csum"))
-            .select(
-                by,
-                "__ck",
-                F.coalesce(F.sum("__csum").over(wch), F.lit(0)).alias(
-                    "__off"
-                ),
-            )
-        )
-        cum = local.join(offsets, [by, "__ck"]).select(
-            by,
+        pre = _chunked_prefix_with_ghosts(
+            work,
+            by=by,
+            order_col=order_col,
+            value_col="__c",
+            chunk_turns=chunk_turns,
+            overlap_rows=max_context_turns,
+            what="sft_pairs",
+        ).select(
+            F.col(by),
             F.col(order_col),
             F.col(role_col),
             "__t",
-            (F.col("__lsum") + F.col("__off") - F.col("__c")).alias(
-                "__s_prev"
-            ),
+            (F.col("__cum") - F.col("__c")).alias("__s_prev"),
             "__ck",
-            "__pos",
-        )
-        ghosts = (
-            cum.where(
-                F.col("__pos")
-                >= F.lit(int(chunk_turns - max_context_turns))
-            )
-            .withColumn("__ck", F.col("__ck") + 1)
-            .withColumn("__ghost", F.lit(True))
-        )
-        pre = (
-            cum.withColumn("__ghost", F.lit(False))
-            .unionByName(ghosts)
-            .drop("__pos")
+            "__ghost",
         )
         w_ctx = Window.partitionBy(by, "__ck").orderBy(order_col)
 
@@ -669,12 +726,14 @@ def turn_edit_features(
             F.col(role_col),
             F.lag("__last").over(w_carry).alias("__in"),
         )
-        # broadcast is right-sized by construction: the hatch targets
-        # pathological conversations, and the carry table holds one
-        # (≤ max_chars) text per (conv, chunk, role) — 10^6 turns at
-        # 50k-turn chunks is 60 rows
+        # no forced broadcast: the carry table is tiny for the
+        # motivating case (one mega conversation → tens of rows) but
+        # scales with |convs| × |chunks| × |roles| when the hatch is
+        # applied to a whole corpus — let AQE pick broadcast vs shuffle
+        # from its measured size rather than pinning a hint that OOMs
+        # the driver in the corpus-wide regime
         base = (
-            main.join(F.broadcast(incoming), [by, "__ck", role_col])
+            main.join(incoming, [by, "__ck", role_col])
             .select(
                 by,
                 F.col(order_col),
@@ -1015,64 +1074,20 @@ def context_budget_features(
             *budget_cols(wb),
         )
 
-    if chunk_turns < budget_tokens:
-        raise ValueError(
-            f"chunk_turns={chunk_turns} must be >= budget_tokens="
-            f"{budget_tokens}: the ghost overlap is one chunk deep, and "
-            f"the budget frame can span up to budget_tokens rows back"
-        )
-    ck = (F.col(order_col).cast("long") / F.lit(int(chunk_turns))).cast(
-        "long"
-    )
-    base = df.select(
+    work = df.select(
         F.col(conv_col),
         F.col(order_col),
         tok.cast("long").alias("turn_tokens"),
-        ck.alias("__ck"),
     )
-    # phase 1: local running sum within (conv, chunk) — parallel tasks
-    wloc = (
-        Window.partitionBy(conv_col, "__ck")
-        .orderBy(order_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = base.withColumn("__lcum", F.sum("turn_tokens").over(wloc))
-    # phase 2: exclusive prefix of per-chunk totals over the TINY
-    # per-chunk table (|convs| × |chunks| rows), joined back — the
-    # global_rank offset pattern; AQE broadcasts the offset side
-    wch = (
-        Window.partitionBy(conv_col)
-        .orderBy("__ck")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = (
-        local.groupBy(conv_col, "__ck")
-        .agg(F.sum("turn_tokens").alias("__csum"))
-        .select(
-            conv_col,
-            "__ck",
-            F.coalesce(F.sum("__csum").over(wch), F.lit(0)).alias("__off"),
-        )
-    )
-    cum = local.join(offsets, [conv_col, "__ck"]).select(
-        conv_col,
-        F.col(order_col),
-        "turn_tokens",
-        (F.col("__lcum") + F.col("__off")).alias("cum_tokens"),
-        "__ck",
-        (F.col(order_col).cast("long") % F.lit(int(chunk_turns))).alias(
-            "__pos"
-        ),
-    )
-    # ghost the last budget_tokens rows of each chunk into the NEXT
-    # chunk (frame coverage), then window per (conv, chunk) and keep
-    # only the real rows
-    ghosts = (
-        cum.where(F.col("__pos") >= F.lit(int(chunk_turns - budget_tokens)))
-        .withColumn("__ck", F.col("__ck") + 1)
-        .withColumn("__ghost", F.lit(True))
-    )
-    both = cum.withColumn("__ghost", F.lit(False)).unionByName(ghosts)
+    both = _chunked_prefix_with_ghosts(
+        work,
+        by=conv_col,
+        order_col=order_col,
+        value_col="turn_tokens",
+        chunk_turns=chunk_turns,
+        overlap_rows=budget_tokens,
+        what="context_budget_features",
+    ).withColumnRenamed("__cum", "cum_tokens")
     wb = (
         Window.partitionBy(conv_col, "__ck")
         .orderBy("cum_tokens")

@@ -205,15 +205,16 @@ def bitmap_prefilter(
     if strategy != "join":
         raise ValueError(f"unknown bitmap strategy {strategy!r}")
 
+    import numpy as np
     import pandas as pd
 
-    nz_idx, nz_bits = [], []
-    for i, w in enumerate(bm.words):
-        if w != 0:
-            nz_idx.append(i)
-            nz_bits.append(w)
+    # vectorized non-zero extraction: at 2^30 bits the word array is
+    # 16.7M entries — a Python loop over it would cost seconds of
+    # driver CPU per call
+    arr = np.asarray(bm.words, dtype=np.int64)
+    idx = np.flatnonzero(arr)
     words_df = df.sparkSession.createDataFrame(
-        pd.DataFrame({"__bm_w": nz_idx, "__bm_bits": nz_bits}),
+        pd.DataFrame({"__bm_w": idx.astype(np.int64), "__bm_bits": arr[idx]}),
         schema="__bm_w long, __bm_bits long",
     )
     nbits = 1 << bm.log2_bits

@@ -65,6 +65,19 @@ def _feature_array(text_col):
     )
 
 
+def _score_expr(model: "QualityModel", text_col):
+    """The single definition of the scoring arithmetic, shared by
+    :func:`score_quality` and :func:`quality_classifier_scores` so the
+    split and composed paths (pinned equal by test and oracle) cannot
+    drift: ``sigmoid(intercept + coef·features)`` as a fixed-order
+    left-to-right literal dot product."""
+    feats = _feature_array(text_col)
+    margin = F.lit(float(model.intercept))
+    for i, c in enumerate(model.coefficients):
+        margin = margin + F.lit(float(c)) * feats[i]
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
+
+
 @dataclass(frozen=True)
 class QualityModel:
     """A fitted quality classifier, reduced to what scoring needs: the
@@ -165,14 +178,11 @@ def score_quality(
             f"model has {len(model.coefficients)} coefficients; expected "
             f"{len(QUALITY_FEATURE_ORDER)} ({QUALITY_FEATURE_ORDER})"
         )
-    feats = _feature_array(F.col(text_col))
-    margin = F.lit(float(model.intercept))
-    for i, c in enumerate(model.coefficients):
-        margin = margin + F.lit(float(c)) * feats[i]
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return docs.select(
         id_col,
-        F.round(prob, round_dp).alias("quality_score"),
+        F.round(_score_expr(model, F.col(text_col)), round_dp).alias(
+            "quality_score"
+        ),
     )
 
 
@@ -211,13 +221,10 @@ def quality_classifier_scores(
     # score_quality's output back on id would re-scan and shuffle for a
     # column that is a cheap expression over the same row
     pos = [str(s) for s in positive_sources]
-    feats = _feature_array(F.col(text_col))
-    margin = F.lit(float(model.intercept))
-    for i, c in enumerate(model.coefficients):
-        margin = margin + F.lit(float(c)) * feats[i]
-    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
     return docs.select(
         id_col,
         F.col(source_col).isin(pos).cast("long").alias("label"),
-        F.round(prob, 4).alias("quality_score"),
+        F.round(_score_expr(model, F.col(text_col)), 4).alias(
+            "quality_score"
+        ),
     )

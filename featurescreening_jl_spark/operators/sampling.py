@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from featurescreening_jl_spark.operators.dedup import hash60_portable
 
 __all__ = [
+    "hash_int",
     "hash_unit",
     "hash_split",
     "stratified_sample",
@@ -60,6 +61,17 @@ __all__ = [
 _HASH_RANGE = float(1 << 60)
 
 
+def hash_int(key: Column, seed: int = 42) -> Column:
+    """The EXACT 60-bit portable hash of ``seed:key`` — the single
+    definition of the joint-string construction every sampler (and
+    every ``md5(seed || ':' || key)`` oracle) keys on. Use this, not a
+    re-derived concat, wherever exact-integer ordering or membership is
+    compared against an oracle: :func:`hash_unit`'s double quotient
+    only keeps a 53-bit mantissa."""
+    joint = F.concat_ws(":", F.lit(str(seed)), key.cast("string"))
+    return hash60_portable(joint)
+
+
 def hash_unit(key: Column, seed: int = 42) -> Column:
     """Uniform double in [0, 1) from a portable hash of ``seed:key``.
 
@@ -69,8 +81,7 @@ def hash_unit(key: Column, seed: int = 42) -> Column:
     Different ``seed`` values give independent assignments (the seed is
     hashed with the key, not added after).
     """
-    joint = F.concat_ws(":", F.lit(str(seed)), key.cast("string"))
-    return hash60_portable(joint) / F.lit(_HASH_RANGE)
+    return hash_int(key, seed) / F.lit(_HASH_RANGE)
 
 
 def hash_split(
@@ -491,10 +502,9 @@ def exact_stratified_sample(
     # orders by the full integer: a possible membership flip at the quota
     # boundary, ~N²/2^54 likely but exactly zero when both sides rank by
     # the same integer). key_col stays as the genuine-collision tie-break.
-    hash_int = hash60_portable(
-        F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string"))
+    w = Window.partitionBy(s).orderBy(
+        hash_int(F.col(key_col), seed), F.col(key_col)
     )
-    w = Window.partitionBy(s).orderBy(hash_int, F.col(key_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= quota)

@@ -813,8 +813,28 @@ class TestContextBudgetChunked:
             sft_pairs,
         )
 
+        df = self._varied(spark, n=5).withColumn("role", F.lit("user"))
         with pytest.raises(ValueError, match="ghost overlap"):
-            sft_pairs(self._varied(spark, n=5), chunk_turns=4)
+            sft_pairs(df, chunk_turns=4)
+
+    def test_sparse_numbering_fails_loudly(self, spark):
+        # the dense-0-based order_col precondition is validated INSIDE
+        # the plan: gappy turn_idx (every other turn filtered out) must
+        # raise at execution, not silently thin the ghost overlap and
+        # corrupt frames
+        from py4j.protocol import Py4JJavaError
+
+        from featurescreening_jl_spark.operators.conversations import (
+            context_budget_features,
+        )
+
+        df = self._varied(spark, n=200, convs=1).where(
+            F.col("turn_idx") % 2 == 0
+        )
+        with pytest.raises(Py4JJavaError, match="dense 0-based"):
+            context_budget_features(df, 10, chunk_turns=20).write.format(
+                "noop"
+            ).mode("overwrite").save()
 
     @pytest.mark.parametrize("chunk", [7, 40, 500])
     def test_turn_edit_chunked_equals_single_task(self, spark, chunk):
@@ -871,8 +891,16 @@ class TestContextBudgetChunked:
             .executedPlan()
             .toString()
         )
+        # the budget window and the local running sum must both key on
+        # (conv, chunk) — a conv-only exchange would re-serialize the
+        # mega conversation into one task
         assert "hashpartitioning(conv_id" in plan
-        assert "__ck" in plan.split("Window")[0] or "__ck" in plan
+        import re
+
+        assert re.search(r"hashpartitioning\(conv_id[^)]*__ck", plan), (
+            "no (conv_id, __ck) exchange found — the chunked path is "
+            "not fanning a conversation out across tasks"
+        )
 
 
 @pytest.mark.slow
