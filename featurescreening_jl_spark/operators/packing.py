@@ -48,7 +48,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from featurescreening_jl_spark.operators.dedup import hash60_portable
+from featurescreening_jl_spark.operators.sampling import hash_int
 
 __all__ = ["pack_sequences"]
 
@@ -56,11 +56,10 @@ _PACK_STRIDE = 1 << 32  # globalized pack_id = grp * stride + local pack
 
 
 def _order_key(id_col: str, seed: int):
-    """Portable deterministic shuffle key (same contract as
-    sampling.hash_unit: DuckDB-reproducible md5 60-bit hash of seed:id)."""
-    return hash60_portable(
-        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
-    )
+    """Portable deterministic shuffle key — sampling.hash_int, the one
+    definition of the ``seed:key`` 60-bit portable hash every
+    ``md5(seed || ':' || key)`` oracle replays."""
+    return hash_int(F.col(id_col), seed)
 
 
 def pack_sequences(
