@@ -76,3 +76,41 @@ def test_pow_heavy_oracles_match_at_sf01():
     if not os.path.isdir(SF01_DIR):
         pytest.skip(f"{SF01_DIR} not present")
     _run_gate(SF01_DIR, POW_HEAVY)
+
+
+# Oracles whose DuckDB formulations are DELIBERATELY quadratic or
+# recursive in input size (exact all-pairs Jaccard, recursive-CTE
+# connected components, naive BETWEEN range join, per-position gram
+# windows, unrolled iterative CTE chains): affordable by design at
+# sf0.01 only — a full-surface sf0.1 attempt spent 94 CPU-minutes
+# inside DuckDB before being killed (round 5), and their comparisons
+# are all-integer/string, so agreement does not drift with volume.
+QUADRATIC_ORACLES = {
+    "conv_neardup", "ngram_jaccard", "ngram_jaccard_indexed",
+    "minhash_pairs", "minhash_incremental", "winnow_pairs",
+    "simhash_neardup", "cosine_neardup", "semantic_dedup", "dedup_cc",
+    "dedup_cc_star", "dedup_cluster_sizes", "keep_best", "soft_dedup",
+    "leakage_split", "corpus_prep", "fuzzy_join", "range_join",
+    "substring_spans", "cosine_topk", "lsh_topk", "ivf_topk",
+    "pq_topk", "screen_pipeline", "turn_edit_dist", "contamination",
+    "contamination_bitmap", "winnow_fingerprints", "simhash_dedup",
+    "doc_pagerank", "kmeans_cells", "label_propagation", "curriculum",
+}
+
+
+@pytest.mark.slow
+@pytest.mark.spark
+def test_linear_oracles_match_at_sf01():
+    """The full linear-oracle sweep at sf0.1 (~105 queries, ~17 min) —
+    opt-in via SPARK_GRAFT_SF01_FULL=1 so the default suite stays under
+    ~20 min; last run green 105/105 (round 5, recorded in
+    BENCH/BASELINE.md)."""
+    if not os.environ.get("SPARK_GRAFT_SF01_FULL"):
+        pytest.skip("set SPARK_GRAFT_SF01_FULL=1 to run the ~17 min sweep")
+    if not os.path.isdir(SF01_DIR):
+        pytest.skip(f"{SF01_DIR} not present")
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    linear = sorted(set(entrymod.oracle_sql()) - QUADRATIC_ORACLES)
+    _run_gate(SF01_DIR, linear)
