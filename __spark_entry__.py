@@ -2717,6 +2717,55 @@ def q_context_budget(spark, sf):
     return context_budget_features(t, 2000)
 
 
+def q_context_budget_chunked(spark, sf):
+    # The mega-conversation escape hatch under the driver's value oracle:
+    # same computation at budget 25 with chunk_turns=25, so the ~67-turn
+    # transcripts conversations split into 3-4 chunks each — two-phase
+    # running sums, ghost rows crossing REAL chunk boundaries, and the
+    # in-plan density validation all execute. Oracle = the single-task
+    # formulation at budget 25 (the dedup_cc_star pattern: identical
+    # output, different physical plan).
+    from featurescreening_jl_spark.operators.conversations import (
+        context_budget_features,
+    )
+
+    t = _transcripts(spark, sf)
+    return context_budget_features(t, 25, chunk_turns=25)
+
+
+def q_sft_pairs_chunked(spark, sf):
+    # sft_pairs' chunked hatch at chunk_turns = max_context_turns = 8:
+    # every conversation splits into ~8 chunks, each ghosting its full
+    # tail into the next — the heaviest ghost geometry the operator
+    # allows. Identical output to q_sft_pairs, so it shares that oracle.
+    from featurescreening_jl_spark.operators.conversations import sft_pairs
+
+    t = _transcripts(spark, sf)
+    out = sft_pairs(
+        t, max_context_turns=8, max_context_chars=2000, chunk_turns=8
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "context",
+        "target",
+        F.col("n_context_turns").cast("long").alias("n_context_turns"),
+    )
+
+
+def q_turn_edit_chunked(spark, sf):
+    # turn_edit_features' carry-based hatch at chunk_turns=10 (~7 chunks
+    # per conversation): the per-(conv, chunk, role) last-text carry and
+    # its role-skipping lag execute against real multi-chunk geometry.
+    # Identical output to q_turn_edit_dist, so it shares that oracle.
+    from featurescreening_jl_spark.operators.conversations import (
+        turn_edit_features,
+    )
+
+    t = _transcripts(spark, sf)
+    return turn_edit_features(t, max_chars=120, chunk_turns=10)
+
+
 def q_soft_dedup(spark, sf):
     # Soft dedup: 1/cluster_size sampling weight over the same exact
     # n-gram Jaccard closure leakage_split uses; the oracle replays the
@@ -3274,6 +3323,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "response_latency": q_response_latency,
         "tool_usage": q_tool_usage,
         "context_budget": q_context_budget,
+        "context_budget_chunked": q_context_budget_chunked,
+        "sft_pairs_chunked": q_sft_pairs_chunked,
+        "turn_edit_chunked": q_turn_edit_chunked,
         "soft_dedup": q_soft_dedup,
         "pool_embeddings": q_pool_embeddings,
         "kmeans_cells": q_kmeans_cells,
@@ -6359,7 +6411,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT base.*, top.top_tool, top.top_tool_calls
         FROM base LEFT JOIN top USING (conv_id)
     """
-    d["context_budget"] = f"""
+    def _context_budget_oracle(budget: int) -> str:
+        # budget-parameterized so the chunked-hatch twin (budget 25,
+        # multi-chunk geometry) replays the same single-task formulation
+        return f"""
         WITH t AS ({_TRANSCRIPTS_SQL}),
         tok AS (
           SELECT conv_id, turn_idx,
@@ -6379,16 +6434,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT conv_id, turn_idx, turn_tokens, cum_tokens,
                (count(*) OVER w - 1
-                + CASE WHEN cum_tokens <= 2000 THEN 1 ELSE 0 END)::INT
+                + CASE WHEN cum_tokens <= {budget} THEN 1 ELSE 0 END)::INT
                    AS ctx_turns,
                (cum_tokens
-                - CASE WHEN cum_tokens <= 2000 THEN 0
+                - CASE WHEN cum_tokens <= {budget} THEN 0
                        ELSE min(cum_tokens) OVER w END)::BIGINT
                    AS ctx_tokens
         FROM cum
         WINDOW w AS (PARTITION BY conv_id ORDER BY cum_tokens
-                     RANGE BETWEEN 2000 PRECEDING AND CURRENT ROW)
+                     RANGE BETWEEN {budget} PRECEDING AND CURRENT ROW)
     """
+
+    d["context_budget"] = _context_budget_oracle(2000)
+    d["context_budget_chunked"] = _context_budget_oracle(25)
     d["soft_dedup"] = _CC_ORACLE_PREFIX + """
         , comp AS (
           SELECT id, min(r) AS component FROM reach GROUP BY id
@@ -6863,4 +6921,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_cur AS BIGINT) AS n_cur
         FROM agg
     """
+    # the chunked mega-conversation hatches compute IDENTICAL output to
+    # their single-task twins (pinned in pytest) — same oracles, so the
+    # driver hash-checks the chunked physical plans each round too
+    d["sft_pairs_chunked"] = d["sft_pairs"]
+    d["turn_edit_chunked"] = d["turn_edit_dist"]
     return d

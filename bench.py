@@ -179,6 +179,11 @@ HEADLINE = [
     # round 5: the quality classifier's deterministic scoring half
     # (frozen model, map-only) — the fit half stays in quality_classifier
     "quality_classifier_score",
+    # round 5: the mega-conversation chunked hatches at real multi-chunk
+    # geometry (identical outputs to their single-task twins)
+    "context_budget_chunked",
+    "sft_pairs_chunked",
+    "turn_edit_chunked",
 ]
 
 
