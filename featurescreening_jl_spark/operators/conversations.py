@@ -653,16 +653,19 @@ def turn_edit_features(
     Unlike :func:`context_budget_features` / :func:`sft_pairs`, whose
     lookback is bounded in ROWS and chunkable with a fixed-depth ghost
     overlap, this op's lag-1-per-role can reach arbitrarily far back
-    (a role absent for a million turns), so the chunked variant uses a
-    CARRY instead of ghosts: the in-chunk lag covers every row except
-    each (conv, chunk, role)'s first; a tiny per-(conv, chunk, role)
-    last-text table, lagged per (conv, role) over chunk order, yields
-    each chunk's incoming predecessor (the nearest EARLIER chunk
-    containing that role — chunks where it is absent simply have no
-    row to lag over), broadcast-joined back to exactly those first
-    rows. Requires dense 0-based ``order_col`` numbering per
-    conversation; exact equality with the single-task path is pinned
-    in tests.
+    (a role absent for a million turns), so the chunked variant
+    carries state instead of overlapping rows: a per-(conv, chunk,
+    role) last-text aggregate (map-side combined — only |groups| rows
+    shuffle), lagged per (conv, role) over chunk order, yields each
+    chunk's incoming predecessor (the nearest EARLIER chunk containing
+    that role — chunks where it is absent simply have no row to lag
+    over). The carried texts enter the window input as GHOST rows
+    sorted before their role block, so the existing in-chunk lag finds
+    them exactly where the single-task window would have found the
+    real predecessor — no join back, so the corpus pays only the one
+    (conv, chunk) exchange the window needs anyway. Requires dense
+    0-based ``order_col`` numbering per conversation; exact equality
+    with the single-task path is pinned in tests.
 
     Output: ``by``, ``order_col``, ``role_col``, ``prev_`` distance
     columns — ``edit_dist`` (NULL for a role's first turn),
@@ -688,61 +691,78 @@ def turn_edit_features(
         ck = (
             F.col(order_col).cast("long") / F.lit(int(chunk_turns))
         ).cast("long")
+        extra_order = [c for c in order if c != order_col]
         pre = df.select(
             by,
             F.col(order_col),
             F.col(role_col),
             cur.alias("__cur"),
             ck.alias("__ck"),
-            *[F.col(c) for c in order if c != order_col],
+            *[F.col(c) for c in extra_order],
         )
-        w_in = Window.partitionBy(by, "__ck").orderBy(
-            F.col(role_col), *[F.col(c) for c in order]
-        )
-        lag_role = F.lag(role_col).over(w_in)
-        main = pre.select(
-            by,
-            F.col(order_col),
-            F.col(role_col),
-            "__cur",
-            "__ck",
-            F.when(lag_role == F.col(role_col), F.lag("__cur").over(w_in))
-            .alias("__prev_in"),
-            (lag_role.isNull() | (lag_role != F.col(role_col))).alias(
-                "__first"
-            ),
-            *[F.col(c) for c in order if c != order_col],
-        )
-        # tiny carry table: |convs| x |chunks| x |roles| rows
-        lasts = main.groupBy(by, "__ck", role_col).agg(
+        # carry as GHOST ROWS, not a join: per-(conv, chunk, role) last
+        # texts collapse map-side to |groups| rows (the corpus never
+        # shuffles for this aggregate — partials combine), a lag per
+        # (conv, role) over chunk order yields each chunk's incoming
+        # predecessor (skipping chunks where the role is absent), and
+        # the result unions into the window input sorted BEFORE its
+        # role block — so the existing in-chunk lag picks it up exactly
+        # where the single-task window would have found the real
+        # predecessor. Joining the carry back instead (the first
+        # formulation) re-shuffled the WHOLE corpus on (conv, chunk,
+        # role) through a SortMergeJoin; ghosts ride the one (conv,
+        # chunk) exchange the window already pays.
+        lasts = pre.groupBy(by, "__ck", role_col).agg(
             F.max_by(
                 "__cur", F.struct(*[F.col(c) for c in order])
             ).alias("__last")
         )
         w_carry = Window.partitionBy(by, role_col).orderBy("__ck")
-        incoming = lasts.select(
-            by,
-            "__ck",
-            F.col(role_col),
-            F.lag("__last").over(w_carry).alias("__in"),
-        )
-        # no forced broadcast: the carry table is tiny for the
-        # motivating case (one mega conversation → tens of rows) but
-        # scales with |convs| × |chunks| × |roles| when the hatch is
-        # applied to a whole corpus — let AQE pick broadcast vs shuffle
-        # from its measured size rather than pinning a hint that OOMs
-        # the driver in the corpus-wide regime
-        base = (
-            main.join(incoming, [by, "__ck", role_col])
+        sentinels = [
+            F.lit(None).cast(pre.schema[c].dataType).alias(c)
+            for c in [order_col, *extra_order]
+        ]
+        ghosts = (
+            lasts.select(
+                by,
+                "__ck",
+                F.col(role_col),
+                F.lag("__last").over(w_carry).alias("__cur"),
+            )
+            .where(F.col("__cur").isNotNull())
             .select(
+                F.col(by),
+                *sentinels[:1],
+                F.col(role_col),
+                "__cur",
+                "__ck",
+                *sentinels[1:],
+                F.lit(True).alias("__ghost"),
+            )
+        )
+        both = pre.withColumn("__ghost", F.lit(False)).unionByName(ghosts)
+        # __ghost DESC sorts each chunk's carried predecessor first
+        # within its role block; real rows keep the single-task
+        # (role, *order) relative order
+        w_in = Window.partitionBy(by, "__ck").orderBy(
+            F.col(role_col),
+            F.col("__ghost").desc(),
+            *[F.col(c) for c in order],
+        )
+        lag_role = F.lag(role_col).over(w_in)
+        base = (
+            both.select(
                 by,
                 F.col(order_col),
                 F.col(role_col),
                 "__cur",
-                F.when(F.col("__first"), F.col("__in"))
-                .otherwise(F.col("__prev_in"))
-                .alias("__prev"),
+                F.when(
+                    lag_role == F.col(role_col), F.lag("__cur").over(w_in)
+                ).alias("__prev"),
+                "__ghost",
             )
+            .where(~F.col("__ghost"))
+            .drop("__ghost")
         )
     dist = F.levenshtein(F.col("__cur"), F.col("__prev"))
     denom = F.greatest(
